@@ -1,0 +1,80 @@
+"""SparkSession factory tuned for the engine.
+
+The reference hard-codes its physical config (rayon pool size,
+batch_size=100 — /root/reference/src/args.rs:95-108); here the
+equivalents are Spark confs: shuffle partitions ≈ cores, AQE on
+(runtime coalesce + skew-join split), Arrow on (every pandas UDF is an
+Arrow batch — the analog of the reference's tensor batch), UTC session
+timezone (required for DuckDB-oracle parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size is the analog of the reference's --batch-size
+# (default 100, /root/reference/src/args.rs:105-108). We use a much
+# larger batch because Arrow+numpy kernels amortize far better than
+# per-patch tensor ops; 10k rows/batch keeps per-batch overhead <1%.
+ARROW_BATCH_ROWS = 10_000
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "nuclei-feature-extraction-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    In this sandbox the "cluster" is ``local[N]``; on a real cluster the
+    same confs apply (AQE handles the shuffle-partition count at the
+    10^12-turn design point; the explicit setting is the local-mode
+    floor).
+    """
+    cores = default_parallelism()
+    if master is None:
+        master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        # match parallelism declared in the master URL when given
+        if master.startswith("local[") and master[6:-1].isdigit():
+            shuffle_partitions = int(master[6:-1])
+        else:
+            shuffle_partitions = cores
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_BATCH_ROWS),
+        )
+        .config("spark.driver.memory", os.environ.get("NFX_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_all() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
