@@ -1,38 +1,492 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exercises the engine's operator surface (SURVEY.md §2) on
+the driver's parquet tables; each SQL-expressible one has a DuckDB
+oracle in ``oracle_sql()`` with IDENTICAL output column names/types.
+Float-valued computed columns are rounded to 6dp on BOTH sides so the
+order-insensitive value-hash is stable across engines.
+
+``events`` (event_id, ts, user_id, event_type, value, props) is the
+transcript-shaped stand-in: user_id ≈ conv_id, ts ordering, value ≈ a
+numeric per-turn signal.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nuclei_feature_extraction_spark.functions.timeutil import epoch_seconds
+from nuclei_feature_extraction_spark.operators import (
+    asof_join,
+    asof_join_broadcast,
+    sessionize,
+    with_rolling,
+)
+from nuclei_feature_extraction_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_near_dup_pairs,
+)
+from nuclei_feature_extraction_spark.operators.similarity import cosine_topk
+from nuclei_feature_extraction_spark.operators.text import (
+    with_lang_id,
+    with_quality_score,
+    with_text_stats,
+)
+
+EVENT_ORDER = ("ts", "event_id")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _user_window() -> Window:
+    return Window.partitionBy("user_id").orderBy(*EVENT_ORDER)
+
+
+# ---------------------------------------------------------------- events
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sessionize(
+        _events(spark, sf_dir),
+        conv_col="user_id",
+        ts_col="ts",
+        order_cols=EVENT_ORDER,
+    )
+    return df.select("event_id", "user_id", "session_id")
+
+
+def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _user_window()
+    df = _events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.round(
+            epoch_seconds("ts") - epoch_seconds(F.lag("ts").over(w)), 6
+        ).alias("gap_s"),
+        F.lag("value", 1).over(w).alias("value_lag1"),
+        F.lag("value", 3).over(w).alias("value_lag3"),
+        F.lag("event_type", 1).over(w).alias("type_lag1"),
+    )
+
+
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_rolling(
+        _events(spark, sf_dir),
+        "value",
+        stats=("mean", "std", "min", "max"),
+        rows=10,
+        conv_col="user_id",
+        order_cols=EVENT_ORDER,
+    )
+    return df.select(
+        "event_id",
+        F.round("value_r10_mean", 6).alias("roll_mean"),
+        F.round("value_r10_std", 6).alias("roll_std"),
+        F.col("value_r10_min").alias("roll_min"),
+        F.col("value_r10_max").alias("roll_max"),
+    )
+
+
+def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_rolling(
+        _events(spark, sf_dir),
+        "value",
+        stats=("mean", "count"),
+        seconds=3600,
+        conv_col="user_id",
+        ts_col="ts",
+    )
+    return df.select(
+        "event_id",
+        F.round("value_s3600_mean", 6).alias("roll1h_mean"),
+        F.col("value_s3600_count").cast("long").alias("roll1h_count"),
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sessionize(
+        _events(spark, sf_dir), conv_col="user_id", order_cols=EVENT_ORDER
+    )
+    return df.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.max(epoch_seconds("ts")) - F.min(epoch_seconds("ts")), 6
+        ).alias("duration_s"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+def q_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    side = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("effective_ts"), F.col("value").alias("last_error_value")
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        side,
+        on="user_id",
+        left_ts="ts",
+        right_ts="effective_ts",
+    ).select("event_id", "last_error_value")
+
+
+def q_asof_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    side = (
+        ev.filter(F.col("event_type") == "error")
+        .orderBy("ts", "event_id")
+        .limit(10)
+        .select(F.col("ts").alias("effective_ts"), F.col("value").alias("cfg_value"))
+    )
+    return asof_join_broadcast(
+        ev.select("event_id", "ts"), side, left_ts="ts", right_ts="effective_ts"
+    ).select("event_id", "cfg_value")
+
+
+def q_masked_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(click).alias("n_clicks"),
+        F.round(F.avg(click), 6).alias("click_mean"),
+        F.round(F.stddev_pop(click), 6).alias("click_std"),
+    )
+
+
+def q_circular_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    theta = (
+        epoch_seconds("ts") % F.lit(86400.0)
+    ) / F.lit(86400.0) * F.lit(2.0 * 3.141592653589793)
+    deg = F.degrees(F.atan2(F.avg(F.sin(theta)), F.avg(F.cos(theta))))
+    return ev.groupBy("user_id").agg(
+        F.round((deg + F.lit(360.0)) % F.lit(360.0), 6).alias("tod_circmean_deg")
+    )
+
+
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_run_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = _user_window()
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = ev.withColumn(
+        "run_id",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return per_run.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.round(F.avg("run_len"), 6).alias("mean_run_len"),
+        F.max("run_len").alias("max_run_len"),
+    )
+
+
+def q_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = _user_window()
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_event_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+# ------------------------------------------------------------- documents
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_documents(spark, sf_dir)).select(
+        "doc_id", F.col("dup_group_size").cast("long").alias("dup_group_size"), "is_canonical"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_text_stats(_documents(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "punct_count", "punct_ratio", "avg_token_len"
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality_score(_documents(spark, sf_dir)).select(
+        "doc_id", "stopword_ratio", "quality_score"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_lang_id(_documents(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+# ------------------------------------------------------------ embeddings
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb, list(qvec), k=5)
+
+
+# ----------------------------------------------------- rows-only checked
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_documents(spark, sf_dir)).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dup_pairs(_documents(spark, sf_dir), max_hamming=6)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full point-in-time feature pass over sf0.001 events —
+    sessionize + lag/rolling window features + per-user as-of backfill
+    of the last error, one shuffle on user_id end-to-end."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _events(spark, sf_dir)
+    df = sessionize(ev, conv_col="user_id", order_cols=EVENT_ORDER)
+    w = _user_window()
+    df = df.withColumn("gap_s", epoch_seconds("ts") - epoch_seconds(F.lag("ts").over(w)))
+    df = with_rolling(
+        df, "value", stats=("mean", "std"), rows=10,
+        conv_col="user_id", order_cols=EVENT_ORDER,
+    )
+    side = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("effective_ts"), F.col("value").alias("last_error_value")
+    )
+    return asof_join(df, side, on="user_id", left_ts="ts", right_ts="effective_ts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "sessionize": q_sessionize,
+        "lag_gap": q_lag_gap,
+        "rolling": q_rolling,
+        "rolling_range": q_rolling_range,
+        "session_stats": q_session_stats,
+        "asof_error": q_asof_error,
+        "asof_global": q_asof_global,
+        "masked_user_stats": q_masked_user_stats,
+        "circular_hour": q_circular_hour,
+        "topk_per_user": q_topk_per_user,
+        "run_length_stats": q_run_length_stats,
+        "transition_counts": q_transition_counts,
+        "event_type_agg": q_event_type_agg,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "cosine_topk": q_cosine_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+_WF = f"{_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+_STOPWORDS_SQL = (
+    "['the','a','an','and','or','of','to','in','is','are','was','were','be',"
+    "'been','it','this','that','for','on','with','as','at','by','from','not','no']"
+)
+_TOKS = "regexp_split_to_array(text, '\\s+')"
+_LTOKS = "regexp_split_to_array(lower(text), '\\s+')"
+_SWHITS = f"len(list_filter({_LTOKS}, t -> list_contains({_STOPWORDS_SQL}, t)))"
+_SWRATIO = f"round({_SWHITS} / greatest(len({_LTOKS}), 1)::DOUBLE, 6)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sessionize": f"""
+            SELECT event_id, user_id,
+                   CAST(SUM(CASE WHEN gap_s > 1800.0 THEN 1 ELSE 0 END)
+                        OVER ({_WF}) AS INTEGER) AS session_id
+            FROM (SELECT *, epoch(ts) - lag(epoch(ts)) OVER ({_W}) AS gap_s
+                  FROM events)
+        """,
+        "lag_gap": f"""
+            SELECT event_id,
+                   round(epoch(ts) - lag(epoch(ts)) OVER ({_W}), 6) AS gap_s,
+                   lag(value, 1) OVER ({_W}) AS value_lag1,
+                   lag(value, 3) OVER ({_W}) AS value_lag3,
+                   lag(event_type, 1) OVER ({_W}) AS type_lag1
+            FROM events
+        """,
+        "rolling": f"""
+            SELECT event_id,
+                   round(avg(value) OVER w10, 6) AS roll_mean,
+                   round(stddev_pop(value) OVER w10, 6) AS roll_std,
+                   min(value) OVER w10 AS roll_min,
+                   max(value) OVER w10 AS roll_max
+            FROM events
+            WINDOW w10 AS ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_range": """
+            SELECT event_id,
+                   round(avg(value) OVER wr, 6) AS roll1h_mean,
+                   count(value) OVER wr AS roll1h_count
+            FROM events
+            WINDOW wr AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "session_stats": f"""
+            WITH s AS (
+              SELECT *, CAST(SUM(CASE WHEN gap_s > 1800.0 THEN 1 ELSE 0 END)
+                             OVER ({_WF}) AS INTEGER) AS session_id
+              FROM (SELECT *, epoch(ts) - lag(epoch(ts)) OVER ({_W}) AS gap_s
+                    FROM events)
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_s,
+                   round(avg(value), 6) AS mean_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "asof_error": """
+            SELECT l.event_id, r.value AS last_error_value
+            FROM events l ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_global": """
+            SELECT l.event_id, r.value AS cfg_value
+            FROM events l ASOF LEFT JOIN
+                 (SELECT ts, value FROM events WHERE event_type = 'error'
+                  ORDER BY ts, event_id LIMIT 10) r
+            ON l.ts >= r.ts
+        """,
+        "masked_user_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   count(CASE WHEN event_type = 'click' THEN value END) AS n_clicks,
+                   round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click_mean,
+                   round(stddev_pop(CASE WHEN event_type = 'click' THEN value END), 6) AS click_std
+            FROM events GROUP BY user_id
+        """,
+        "circular_hour": """
+            SELECT user_id,
+                   round(fmod(degrees(atan2(avg(sin(theta)), avg(cos(theta)))) + 360.0,
+                              360.0), 6) AS tod_circmean_deg
+            FROM (SELECT user_id,
+                         fmod(epoch(ts), 86400.0) / 86400.0 * 2.0 * 3.141592653589793 AS theta
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "topk_per_user": """
+            SELECT user_id, event_id, CAST(rank AS INTEGER) AS rank
+            FROM (SELECT user_id, event_id,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY value DESC, event_id) AS rank
+                  FROM events)
+            WHERE rank <= 3
+        """,
+        "run_length_stats": f"""
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(event_type) OVER ({_W}) IS NULL
+                            OR lag(event_type) OVER ({_W}) <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+            ), r AS (
+              SELECT user_id, SUM(chg) OVER ({_WF}) AS run_id FROM o
+            ), runs AS (
+              SELECT user_id, run_id, count(*) AS run_len
+              FROM r GROUP BY user_id, run_id
+            )
+            SELECT user_id, count(*) AS n_runs,
+                   round(avg(run_len), 6) AS mean_run_len,
+                   max(run_len) AS max_run_len
+            FROM runs GROUP BY user_id
+        """,
+        "transition_counts": f"""
+            SELECT prev_type, event_type, count(*) AS n
+            FROM (SELECT event_type,
+                         lag(event_type) OVER ({_W}) AS prev_type
+                  FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
+        "event_type_agg": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY text) AS dup_group_size,
+                   doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
+            FROM documents
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                   CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INTEGER) AS punct_count,
+                   round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
+                   round((length(text) - (len({_TOKS}) - 1))
+                         / greatest(len({_TOKS}), 1)::DOUBLE, 6) AS avg_token_len
+            FROM documents
+        """,
+        "quality": f"""
+            SELECT doc_id, {_SWRATIO} AS stopword_ratio,
+                   round((CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                                     / greatest(length(text), 1)::DOUBLE, 6) <= 0.2
+                          THEN 0.3 ELSE 0.0 END)
+                       + (CASE WHEN {_SWRATIO} >= 0.01 THEN 0.3 ELSE 0.0 END), 6) AS quality_score
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN {_SWRATIO} >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
+            FROM documents
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 6) AS sim
+            FROM embeddings ORDER BY sim DESC, vec_id LIMIT 5
+        """,
+    }

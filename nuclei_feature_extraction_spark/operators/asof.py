@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nuclei_feature_extraction_spark.functions.timeutil import epoch_seconds
+
 _TS = "__asof_ts"
 _SRC = "__asof_src"
 _PAY = "__asof_payload"
@@ -112,7 +114,7 @@ def asof_join(
     matched = F.last(_PAY, ignorenulls=True).over(w)
     if tolerance_seconds is not None:
         fresh = (
-            F.col(_TS).cast("double") - matched[_RTS].cast("double")
+            epoch_seconds(F.col(_TS)) - epoch_seconds(matched[_RTS])
         ) <= F.lit(float(tolerance_seconds))
         matched = F.when(fresh, matched)
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from nuclei_feature_extraction_spark.functions.timeutil import epoch_seconds
+
 DEFAULT_GAP_MINUTES = 30.0
 
 
@@ -28,7 +30,7 @@ def session_boundary_col(
 ) -> Column:
     w = Window.partitionBy(conv_col).orderBy(*order_cols)
     prev_ts = F.lag(ts_col).over(w)
-    gap_s = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    gap_s = epoch_seconds(ts_col) - epoch_seconds(prev_ts)
     return (
         F.when(prev_ts.isNull(), F.lit(0))
         .when(gap_s > gap_minutes * 60.0, F.lit(1))

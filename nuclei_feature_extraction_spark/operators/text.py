@@ -1,0 +1,99 @@
+"""Text-analysis operators (training-data pipeline staples).
+
+Everything is built-in ``pyspark.sql.functions`` — regex, split,
+higher-order array ops — executed inside whole-stage codegen; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny embedded stopword list (public, language-agnostic heuristics)
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from not no"
+).split()
+
+PUNCT_RE = r"[^.!?,;:]"
+TOKEN_RE = r"[A-Za-z0-9_']+|[^\sA-Za-z0-9_']"  # BPE-ish: words + single punct
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_chars, n_tokens (whitespace), n_bpeish_tokens (regex),
+    punct_count, punct_ratio, avg_token_len."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, ""))
+    bpeish = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+    return (
+        df.withColumn("n_chars", F.length(text_col).cast("int"))
+        .withColumn("n_tokens", n_tokens.cast("int"))
+        .withColumn("n_bpeish_tokens", bpeish.cast("int"))
+        .withColumn("punct_count", punct.cast("int"))
+        .withColumn(
+            "punct_ratio",
+            F.round(punct / F.greatest(F.length(text_col), F.lit(1)), 6),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                (F.length(text_col) - (n_tokens - 1))
+                / F.greatest(n_tokens, F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.array_intersect(toks, sw))  # distinct-stopword presence
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)).cast("double"), 6)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite heuristic quality score ∈ [0,1]: length band +
+    punctuation sanity + stopword presence (Gopher-style rules,
+    simplified)."""
+    out = with_text_stats(df, text_col).withColumn(
+        "stopword_ratio", stopword_ratio(text_col)
+    )
+    len_ok = (F.col("n_chars") >= 20) & (F.col("n_chars") <= 20_000)
+    punct_ok = F.col("punct_ratio") <= 0.2
+    sw_ok = F.col("stopword_ratio") >= 0.01
+    score = (
+        len_ok.cast("double") * 0.4
+        + punct_ok.cast("double") * 0.3
+        + sw_ok.cast("double") * 0.3
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: 'en' when the English stopword hit-rate
+    clears a threshold, 'unknown' otherwise (n-gram tables would slot in
+    here; the scoring plumbing is what matters for the pipeline)."""
+    return df.withColumn("stopword_ratio", stopword_ratio(text_col)).withColumn(
+        "lang_pred",
+        F.when(F.col("stopword_ratio") >= 0.05, F.lit("en")).otherwise(
+            F.lit("unknown")
+        ),
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", n: int = 5, keep: int = 4
+) -> DataFrame:
+    """Document fingerprint: the ``keep`` smallest xxhash64 values over
+    word n-grams (a winnowing-style rolling-hash sketch), packed as a
+    sorted array — stable under small edits elsewhere in the doc."""
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    ngrams = F.expr(
+        f"transform(sequence(0, greatest(size({toks}) - {n}, 0)), "
+        f"i -> xxhash64(concat_ws(' ', slice({toks}, i + 1, {n}))))"
+    )
+    fp = F.slice(F.array_sort(ngrams), 1, keep)
+    return df.withColumn("fingerprint", fp)

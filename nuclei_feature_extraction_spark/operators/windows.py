@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from nuclei_feature_extraction_spark.functions.timeutil import epoch_long, epoch_seconds
+
 FUTURE_PREFIX = "future_"
 
 
@@ -91,7 +93,7 @@ def with_rolling(
         tag = f"r{rows}"
     else:
         w = _frame(
-            Window.partitionBy(conv_col).orderBy(F.col(ts_col).cast("long")),
+            Window.partitionBy(conv_col).orderBy(epoch_long(ts_col)),
             rows=None,
             seconds=seconds,
         )
@@ -139,7 +141,7 @@ def with_circular_time_mean(
     composition of the reference's circular hue mean
     (/root/reference/src/features/color.rs:144-155)."""
     w = _frame(conv_window(conv_col, order_cols), rows=rows, seconds=None)
-    sec_of_day = F.col(ts_col).cast("double") % F.lit(86400.0)
+    sec_of_day = epoch_seconds(ts_col) % F.lit(86400.0)
     theta = sec_of_day / F.lit(86400.0) * F.lit(2.0 * 3.141592653589793)
     mean_sin = F.avg(F.sin(theta)).over(w)
     mean_cos = F.avg(F.cos(theta)).over(w)
