@@ -6,7 +6,7 @@ tool string, ts timestamp)``. Generation is pure vectorized numpy
 (seed=42, no external data) and is cached as parquet under
 ``.cache/fixtures/<scale>/`` so pytest and bench reuse identical bytes.
 
-Zipf-skewed conversation lengths (s=1.3, cap 20k) create the
+Zipf-skewed conversation lengths (s=1.5, cap 20k) create the
 mega-conversation skew the salting path exercises — the analog of the
 reference's one-giant-slide workload (/root/reference/run.sh:43-55,
 one process per slide).
@@ -32,7 +32,7 @@ _EPOCH_HI = np.datetime64("2024-03-31", "s").astype(np.int64)
 
 
 def _conv_lengths(rng: np.random.Generator, n_convs: int) -> np.ndarray:
-    return np.minimum(rng.zipf(1.3, n_convs), 20_000).astype(np.int64)
+    return np.minimum(rng.zipf(1.5, n_convs), 20_000).astype(np.int64)
 
 
 def gen_transcripts(n_convs: int, seed: int = SEED) -> pd.DataFrame:

@@ -1,0 +1,390 @@
+"""Vectorized prefix-feature kernels (the engine's numeric hot path).
+
+The reference computes, per item, a wide numeric vector from whole-batch
+tensor kernels (GLCM/GLRLM via tch-utils, PCA via shape.rs — SURVEY.md
+§2.4 A6/A11/A12). Our analog computes, per anchor turn, the same
+families over the CONVERSATION PREFIX ending at that turn:
+
+- cooc:   lag-d transition co-occurrence of the discretized text-length
+          signal + the 14 Haralick stats, grid d × K levels → columns
+          ``cooc_<stat>_d<d>_k<K>`` (naming per texture.rs:82-157).
+- runlen: run-length stats of {role, has_tool, tlen level-4} streams →
+          ``runlen_<stat>_<signal>`` (texture.rs:244-301 analog).
+- shape:  prefix PCA of the (elapsed-seconds, tlen) scatter →
+          ``shape_pca_*`` (shape.rs:141-207 analog, same NaN-bail).
+
+Everything is computed in ONE pass over each sorted conversation using
+segmented cumulative sums and occurrence-count (cumcount) identities —
+O(n) per conversation instead of the naive O(n²·K²), and vectorized
+across ALL conversations in an Arrow batch (no per-row or per-group
+Python). The naive oracles in oracle.py define the semantics; tests
+assert allclose between the two.
+
+Spark integration: ``prefix_features`` repartitions by conversation,
+sorts within partitions, and streams Arrow batches through
+``mapInPandas`` with a carry buffer so conversations split across
+batches are stitched — one shuffle, no group-at-a-time overhead.
+
+Key incremental identities (c = cell count, u = occurrence count of the
+underlying key, f(x) = x·ln x):
+  Σ c², symmetric GLCM:  Δ = (2 + 2·[i=j]) · (2u − 1)
+  Σ c ln c, off-diag:    Δ = 2·(f(u) − f(u−1))
+  Σ c ln c, diag:        Δ = f(2u) − f(2u−2)
+  marginal Σ m ln m:     per-event Δ = f(m) − f(m−1) over the
+                         interleaved (i, j) event stream
+  HXY1 = HXY2 = HX + HY  (exact marginalization identity)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from nuclei_feature_extraction_spark.functions.oracle import (
+    COOC_STATS,
+    RUNLEN_STATS,
+    SHAPE_STATS,
+    discretize_log,
+)
+
+ROLE_IDX = {"user": 0, "assistant": 1, "tool": 2, "system": 3}
+RUNLEN_SIGNALS = ("role", "has_tool", "tlen4")
+DEFAULT_LAGS = (1, 2)
+DEFAULT_LEVELS = (4, 8)
+
+
+# ----------------------------------------------------------- numpy core
+
+def _xlogx(a: np.ndarray) -> np.ndarray:
+    return np.where(a > 0, a * np.log(np.maximum(a, 1e-300)), 0.0)
+
+
+def _seg_cumsum(a: np.ndarray, first: np.ndarray) -> np.ndarray:
+    """Cumulative sum restarting at every True in ``first``.
+
+    Implemented as a pandas groupby-cumsum (C-vectorized, per-group):
+    each segment's sum is computed independently, so float error NEVER
+    crosses conversation boundaries (a global-cumsum-minus-offset trick
+    would leak ~eps·(chunk magnitude) into early prefixes of later
+    conversations and break exact-zero guards like hx == 0)."""
+    seg = np.cumsum(first)
+    return (
+        pd.Series(np.asarray(a, dtype=np.float64))
+        .groupby(seg)
+        .cumsum()
+        .to_numpy()
+    )
+
+
+def _seg_pos(first: np.ndarray) -> np.ndarray:
+    """0-based position within each segment."""
+    n = len(first)
+    start_idx = np.where(first, np.arange(n), 0)
+    return np.arange(n) - np.maximum.accumulate(start_idx)
+
+
+def _cumcount(conv: np.ndarray, key: np.ndarray) -> np.ndarray:
+    """1-based occurrence count of (conv, key) at each row (vectorized
+    pandas cumcount — C speed across all conversations at once)."""
+    df = pd.DataFrame({"c": conv, "k": key})
+    return df.groupby(["c", "k"], sort=False).cumcount().to_numpy() + 1
+
+
+def cooc_prefix(
+    conv: np.ndarray, first: np.ndarray, x: np.ndarray, d: int, k: int
+) -> dict[str, np.ndarray]:
+    """Vectorized prefix Haralick stats for lag-d, k-level stream x.
+    ``conv`` are integer codes, ``first`` marks conversation starts;
+    rows MUST be sorted by (conv, order)."""
+    n = len(x)
+    pos = _seg_pos(first)
+    valid = pos >= d
+    i = np.where(valid, x[np.maximum(np.arange(n) - d, 0)], 0).astype(np.int64)
+    j = x.astype(np.int64)
+    w = valid.astype(np.float64)
+
+    s_tot = 2.0 * _seg_cumsum(w, first)  # ordered-pair total S
+    ok = s_tot > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # plain per-pair cumsums (each transition adds cells (i,j),(j,i))
+        diff2 = (i - j).astype(np.float64) ** 2
+        adiff = np.abs(i - j).astype(np.float64)
+        contrast = _seg_cumsum(w * 2 * diff2, first) / s_tot
+        dissim = _seg_cumsum(w * 2 * adiff, first) / s_tot
+        idm = _seg_cumsum(w * 2.0 / (1.0 + diff2), first) / s_tot
+        mu = _seg_cumsum(w * (i + j), first) / s_tot
+        ev2 = _seg_cumsum(w * (i * i + j * j).astype(np.float64), first) / s_tot
+        var = ev2 - mu**2
+        eij = _seg_cumsum(w * 2.0 * i * j, first) / s_tot
+        corr = np.where(var > 1e-9, (eij - mu**2) / var, np.nan)
+        sa = _seg_cumsum(w * 2.0 * (i + j), first) / s_tot
+        sv = _seg_cumsum(w * 2.0 * (i + j).astype(np.float64) ** 2, first) / s_tot - sa**2
+        da = dissim
+        dv = contrast - da**2
+
+        # Σc² and Σ c ln c via unordered-pair occurrence counts
+        lo, hi = np.minimum(i, j), np.maximum(i, j)
+        pairkey = np.where(valid, lo * k + hi, -1)
+        diag = (i == j) & valid
+        u = _cumcount(conv, pairkey).astype(np.float64)
+        dc2 = np.where(diag, 4.0, 2.0) * (2 * u - 1)
+        c2 = _seg_cumsum(np.where(valid, dc2, 0.0), first)
+        asm = c2 / s_tot**2
+        dclogc = np.where(
+            diag,
+            _xlogx(2 * u) - _xlogx(2 * u - 2),
+            2.0 * (_xlogx(u) - _xlogx(u - 1)),
+        )
+        clogc = _seg_cumsum(np.where(valid, dclogc, 0.0), first)
+        entropy = np.log(np.where(ok, s_tot, 1.0)) - clogc / s_tot
+
+        # sum-marginal entropy via (i+j) occurrence counts (s(k) = 2u)
+        sumkey = np.where(valid, i + j, -1)
+        us = _cumcount(conv, sumkey).astype(np.float64)
+        dslogs = _xlogx(2 * us) - _xlogx(2 * us - 2)
+        slogs = _seg_cumsum(np.where(valid, dslogs, 0.0), first)
+        sum_entropy = np.log(np.where(ok, s_tot, 1.0)) - slogs / s_tot
+
+        # marginal entropy HX via the interleaved (i, j) event stream
+        ev_conv = np.repeat(conv, 2)
+        ev_val = np.empty(2 * n, dtype=np.int64)
+        ev_val[0::2] = np.where(valid, i, -1)
+        ev_val[1::2] = np.where(valid, j, -1)
+        m = _cumcount(ev_conv, ev_val).astype(np.float64)
+        dm = _xlogx(m) - _xlogx(m - 1)
+        row_dm = np.where(valid, dm[0::2] + dm[1::2], 0.0)
+        mlogm = _seg_cumsum(row_dm, first)
+        hx = np.log(np.where(ok, s_tot, 1.0)) - mlogm / s_tot
+
+        # 1e-9 floor: true nonzero hx ≥ ln(2m)/2m (~7e-6 even at m=10^6);
+        # within-conversation cumsum noise is orders below the floor
+        imc1 = np.where(hx > 1e-9, (entropy - 2 * hx) / hx, np.nan)
+        imc2 = np.sqrt(np.clip(1.0 - np.exp(-2.0 * (2 * hx - entropy)), 0.0, None))
+
+    out = {
+        "correlation": corr, "contrast": contrast, "dissimilarity": dissim,
+        "entropy": entropy, "asm": asm, "sum_average": sa, "sum_variance": sv,
+        "sum_entropy": sum_entropy, "sum_of_squares": var, "idm": idm,
+        "difference_average": da, "difference_variance": dv,
+        "imc1": imc1, "imc2": imc2,
+    }
+    nan = np.nan
+    for s in out:
+        out[s] = np.where(ok, out[s], nan)
+    return out
+
+
+def runlen_prefix(
+    conv: np.ndarray, first: np.ndarray, x: np.ndarray
+) -> dict[str, np.ndarray]:
+    """Vectorized prefix run-length stats of integer stream x."""
+    n = len(x)
+    prev = x[np.maximum(np.arange(n) - 1, 0)]
+    chg = first | (x != prev)
+    pos = _seg_pos(chg)  # 0-based position within the current run
+    length = pos + 1.0
+    np1 = _seg_pos(first) + 1.0
+    r = _seg_cumsum(chg.astype(np.float64), first)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sre_d = np.where(pos > 0, 1.0 / length**2 - 1.0 / (length - 1) ** 2, 1.0)
+        sre = _seg_cumsum(sre_d, first) / r
+        lre_sum = _seg_cumsum(2 * length - 1, first)
+        lre = lre_sum / r
+        mean_len = np1 / r
+        rlvar = lre - mean_len**2
+        startkey = np.where(chg, x, -1)
+        rv = _cumcount(conv, startkey).astype(np.float64)
+        gln = _seg_cumsum(np.where(chg, 2 * rv - 1, 0.0), first) / r
+        xl = x.astype(np.float64)
+        lgre = _seg_cumsum(np.where(chg, 1.0 / (xl + 1) ** 2, 0.0), first) / r
+        hgre = _seg_cumsum(np.where(chg, (xl + 1) ** 2, 0.0), first) / r
+
+    return {
+        "n_runs": r, "rp": r / np1, "mean_len": mean_len, "sre": sre,
+        "lre": lre, "rlvar": rlvar, "gln": gln, "lgre": lgre, "hgre": hgre,
+    }
+
+
+def shape_prefix(
+    conv: np.ndarray, first: np.ndarray, u: np.ndarray, y: np.ndarray
+) -> dict[str, np.ndarray]:
+    """Vectorized prefix PCA of the (u, y) scatter per conversation.
+    Closed-form 2×2 eigen-decomposition from five segmented cumsums."""
+    np1 = _seg_pos(first) + 1.0
+    su = _seg_cumsum(u, first)
+    sy = _seg_cumsum(y, first)
+    suu = _seg_cumsum(u * u, first)
+    syy = _seg_cumsum(y * y, first)
+    suy = _seg_cumsum(u * y, first)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu, my = su / np1, sy / np1
+        a = suu / np1 - mu**2
+        c = syy / np1 - my**2
+        b = suy / np1 - mu * my
+        tr = a + c
+        disc = np.sqrt(((a - c) / 2) ** 2 + b**2)
+        l1 = tr / 2 + disc
+        l2 = np.clip(tr / 2 - disc, 0.0, None)
+        valid = (np1 >= 2) & (l1 > 0)
+        major = np.where(valid, 2 * np.sqrt(np.clip(l1, 0, None)), np.nan)
+        minor = np.where(valid, 2 * np.sqrt(l2), np.nan)
+        ecc = np.where(valid, np.sqrt(np.clip((l1 - l2) / l1, 0, 1)), np.nan)
+        # eigenvector of l1: (b, l1-a); when b≈0 axis-aligned; degenerate
+        # (disc≈0, no principal direction) → NaN like shape.rs:142-184
+        vx = np.where(np.abs(b) > 1e-12, b, np.where(a >= c, 1.0, 0.0))
+        vy = np.where(np.abs(b) > 1e-12, l1 - a, np.where(a >= c, 0.0, 1.0))
+        angle = np.where(
+            valid & (disc > 1e-12), np.arctan2(vy, vx) % np.pi, np.nan
+        )
+    return {
+        "pca_major": major, "pca_minor": minor,
+        "pca_angle": angle, "pca_eccentricity": ecc,
+    }
+
+
+# ------------------------------------------------------- pandas assembly
+
+def feature_names(
+    families: Sequence[str] = ("cooc", "runlen", "shape"),
+    lags: Sequence[int] = DEFAULT_LAGS,
+    levels: Sequence[int] = DEFAULT_LEVELS,
+) -> list[str]:
+    names: list[str] = []
+    if "cooc" in families:
+        for d in lags:
+            for k in levels:
+                names += [f"cooc_{s}_d{d}_k{k}" for s in COOC_STATS]
+    if "runlen" in families:
+        for sig in RUNLEN_SIGNALS:
+            names += [f"runlen_{s}_{sig}" for s in RUNLEN_STATS]
+    if "shape" in families:
+        names += [f"shape_{s}" for s in SHAPE_STATS]
+    return names
+
+
+def compute_features_pdf(
+    pdf: pd.DataFrame,
+    families: Sequence[str] = ("cooc", "runlen", "shape"),
+    lags: Sequence[int] = DEFAULT_LAGS,
+    levels: Sequence[int] = DEFAULT_LEVELS,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+) -> pd.DataFrame:
+    """Compute all requested families for a pandas chunk holding WHOLE
+    conversations. Returns (conv_id, turn_idx) + feature columns.
+
+    Shared intermediates (sort, conv codes, tlen levels) are computed
+    once across families — the CSE the reference misses when it
+    re-derives grayscale per kernel (texture.rs:36,189,332).
+    """
+    pdf = pdf.sort_values([conv_col, *order_cols], kind="mergesort")
+    conv, _ = pd.factorize(pdf[conv_col].to_numpy(), sort=False)
+    n = len(pdf)
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = conv[1:] != conv[:-1]
+
+    tlen = pdf["tlen"].to_numpy(dtype=np.float64)
+    out = {
+        conv_col: pdf[conv_col].to_numpy(),
+        "turn_idx": pdf["turn_idx"].to_numpy(),
+    }
+    if "cooc" in families:
+        for k in levels:
+            xk = discretize_log(tlen, k)
+            for d in lags:
+                stats = cooc_prefix(conv, first, xk, d, k)
+                for s, v in stats.items():
+                    out[f"cooc_{s}_d{d}_k{k}"] = v
+    if "runlen" in families:
+        role = (
+            pdf["role"].map(ROLE_IDX).fillna(4).to_numpy(dtype=np.int64)
+        )
+        has_tool = pdf["tool"].notna().to_numpy().astype(np.int64)
+        tlen4 = discretize_log(tlen, 4)
+        for sig, arr in (("role", role), ("has_tool", has_tool), ("tlen4", tlen4)):
+            stats = runlen_prefix(conv, first, arr)
+            for s, v in stats.items():
+                out[f"runlen_{s}_{sig}"] = v
+    if "shape" in families:
+        ts_s = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64) / 1e9
+        t0 = ts_s[np.maximum.accumulate(np.where(first, np.arange(n), 0))]
+        stats = shape_prefix(conv, first, ts_s - t0, tlen)
+        for s, v in stats.items():
+            out[f"shape_{s}"] = v
+    return pd.DataFrame(out)
+
+
+# ----------------------------------------------------------- spark layer
+
+def prefix_features(
+    df,
+    families: Sequence[str] = ("cooc", "runlen", "shape"),
+    lags: Sequence[int] = DEFAULT_LAGS,
+    levels: Sequence[int] = DEFAULT_LEVELS,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    text_col: str = "text",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    num_partitions: int | None = None,
+):
+    """Distributed prefix-feature pass: ONE shuffle (repartition by
+    conversation) + in-partition sort + ``mapInPandas`` with a carry
+    buffer stitching conversations that span Arrow batches.
+
+    Returns (conv_id, turn_idx, <features…>); join back on the key for
+    the full frame (J2 analog — key-based, never order-based).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    names = feature_names(families, lags, levels)
+    turn_t = df.schema["turn_idx"].dataType
+    schema = T.StructType(
+        [
+            T.StructField(conv_col, df.schema[conv_col].dataType, False),
+            T.StructField("turn_idx", turn_t, False),
+        ]
+        + [T.StructField(nm, T.DoubleType(), True) for nm in names]
+    )
+
+    prep = df.select(
+        F.col(conv_col),
+        F.col("turn_idx"),
+        F.col(order_cols[0]).alias("ts") if order_cols[0] != "ts" else F.col("ts"),
+        F.col(role_col).alias("role"),
+        F.col(tool_col).alias("tool"),
+        F.length(F.col(text_col)).cast("double").alias("tlen"),
+    )
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    prep = prep.repartition(nparts, conv_col).sortWithinPartitions(
+        conv_col, *order_cols
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_conv = pdf[conv_col].iloc[-1]
+            tail = pdf[conv_col] == last_conv
+            # keep the (possibly continuing) last conversation for the
+            # next batch; emit everything before it
+            carry = pdf[tail.to_numpy()]
+            head = pdf[~tail.to_numpy()]
+            if len(head):
+                yield compute_features_pdf(
+                    head, families, lags, levels, conv_col, order_cols
+                )
+        if carry is not None and len(carry):
+            yield compute_features_pdf(
+                carry, families, lags, levels, conv_col, order_cols
+            )
+
+    return prep.mapInPandas(gen, schema)

@@ -1,0 +1,154 @@
+"""Naive single-conversation NumPy oracles for the kernel families.
+
+These define the SEMANTICS of every prefix feature: at anchor turn t the
+statistic is computed from scratch over rows [0..t] only (zero temporal
+leakage by construction). They are deliberately simple/quadratic — the
+vectorized incremental implementations in kernels.py are tested against
+them with np.allclose.
+
+Formula provenance (public literature, parameterization mirrored from
+the reference call sites):
+- co-occurrence stats: Haralick et al. 1973 (the reference computes the
+  same 14 over GLCMs, /root/reference/src/features/texture.rs:38-157);
+  here the "image" is the lag-d transition stream of a discretized
+  per-turn signal, symmetric + normalized like a standard GLCM.
+- run-length stats: Galloway 1975 (reference GLRLM,
+  texture.rs:174-301); runs of equal value along the turn sequence,
+  the open run at the prefix end counted at its current length.
+- prefix PCA: covariance eigen-decomposition of the (elapsed-seconds,
+  signal) scatter (reference mask-PCA, shape.rs:141-207), with the
+  same NaN-bail on degenerate input (shape.rs:142-184).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+COOC_STATS = [
+    "correlation", "contrast", "dissimilarity", "entropy", "asm",
+    "sum_average", "sum_variance", "sum_entropy", "sum_of_squares",
+    "idm", "difference_average", "difference_variance", "imc1", "imc2",
+]
+RUNLEN_STATS = [
+    "n_runs", "rp", "mean_len", "sre", "lre", "rlvar", "gln", "lgre", "hgre",
+]
+SHAPE_STATS = ["pca_major", "pca_minor", "pca_angle", "pca_eccentricity"]
+
+
+def discretize_log(values: np.ndarray, k: int, scale: float = 4096.0) -> np.ndarray:
+    """Deterministic leakage-free bucketing of a nonnegative signal into
+    k levels: floor(log1p(x)/log1p(scale) * k), clipped to [0, k-1]."""
+    lev = np.floor(np.log1p(values) / np.log1p(scale) * k).astype(np.int64)
+    return np.clip(lev, 0, k - 1)
+
+
+def _xlogx(a: np.ndarray | float) -> np.ndarray | float:
+    return np.where(a > 0, a * np.log(np.maximum(a, 1e-300)), 0.0)
+
+
+def cooc_prefix_naive(x: np.ndarray, d: int, k: int) -> dict[str, np.ndarray]:
+    """All 14 Haralick-style stats at every prefix of level stream x,
+    rebuilt from a fresh symmetric co-occurrence matrix each time."""
+    n = len(x)
+    out = {s: np.full(n, np.nan) for s in COOC_STATS}
+    for t in range(n):
+        if t < d:
+            continue
+        ii = x[np.arange(d, t + 1) - d]
+        jj = x[np.arange(d, t + 1)]
+        c = np.zeros((k, k))
+        np.add.at(c, (ii, jj), 1.0)
+        np.add.at(c, (jj, ii), 1.0)
+        s = c.sum()
+        p = c / s
+        iv = np.arange(k, dtype=float)
+        px = p.sum(axis=1)
+        mu = (iv * px).sum()
+        var = (iv**2 * px).sum() - mu**2
+        sig = np.sqrt(var)
+        igrid, jgrid = np.meshgrid(iv, iv, indexing="ij")
+        pij_ij = (igrid * jgrid * p).sum()
+        out["correlation"][t] = (
+            (pij_ij - mu * mu) / (sig * sig) if sig > 0 else np.nan
+        )
+        out["contrast"][t] = ((igrid - jgrid) ** 2 * p).sum()
+        out["dissimilarity"][t] = (np.abs(igrid - jgrid) * p).sum()
+        out["entropy"][t] = -_xlogx(p).sum()
+        out["asm"][t] = (p**2).sum()
+        ksum = igrid + jgrid
+        psum = np.array([(p[ksum == kk]).sum() for kk in range(2 * k - 1)])
+        kk = np.arange(2 * k - 1, dtype=float)
+        sa = (kk * psum).sum()
+        out["sum_average"][t] = sa
+        out["sum_variance"][t] = ((kk - sa) ** 2 * psum).sum()
+        out["sum_entropy"][t] = -_xlogx(psum).sum()
+        out["sum_of_squares"][t] = var
+        out["idm"][t] = (p / (1.0 + (igrid - jgrid) ** 2)).sum()
+        ldiff = np.abs(igrid - jgrid)
+        pdiff = np.array([(p[ldiff == ll]).sum() for ll in range(k)])
+        ll = np.arange(k, dtype=float)
+        da = (ll * pdiff).sum()
+        out["difference_average"][t] = da
+        out["difference_variance"][t] = ((ll - da) ** 2 * pdiff).sum()
+        hxy = out["entropy"][t]
+        hx = -_xlogx(px).sum()
+        # symmetric: hy == hx, HXY1 == HXY2 == hx + hy (marginalization identity)
+        denom = hx
+        out["imc1"][t] = (hxy - 2 * hx) / denom if denom > 0 else np.nan
+        arg = 1.0 - np.exp(-2.0 * (2 * hx - hxy))
+        out["imc2"][t] = np.sqrt(max(arg, 0.0))
+    return out
+
+
+def runlen_prefix_naive(x: np.ndarray) -> dict[str, np.ndarray]:
+    """Run-length stats at every prefix; the open run counts at its
+    current (truncated) length — mirroring GLRLM's truncated edge runs."""
+    n = len(x)
+    out = {s: np.full(n, np.nan) for s in RUNLEN_STATS}
+    for t in range(n):
+        seq = x[: t + 1]
+        runs: list[tuple[int, int]] = []  # (level, length)
+        cur_v, cur_l = seq[0], 1
+        for v in seq[1:]:
+            if v == cur_v:
+                cur_l += 1
+            else:
+                runs.append((cur_v, cur_l))
+                cur_v, cur_l = v, 1
+        runs.append((cur_v, cur_l))
+        lens = np.array([l for _, l in runs], dtype=float)
+        levs = np.array([v for v, _ in runs], dtype=float)
+        r = len(runs)
+        out["n_runs"][t] = r
+        out["rp"][t] = r / (t + 1)
+        out["mean_len"][t] = (t + 1) / r
+        out["sre"][t] = (1.0 / lens**2).sum() / r
+        out["lre"][t] = (lens**2).sum() / r
+        out["rlvar"][t] = (lens**2).sum() / r - ((t + 1) / r) ** 2
+        _, counts = np.unique(levs, return_counts=True)
+        out["gln"][t] = (counts.astype(float) ** 2).sum() / r
+        out["lgre"][t] = (1.0 / (levs + 1) ** 2).sum() / r
+        out["hgre"][t] = ((levs + 1) ** 2).sum() / r
+    return out
+
+
+def shape_prefix_naive(u: np.ndarray, y: np.ndarray) -> dict[str, np.ndarray]:
+    """Prefix PCA of the (u, y) scatter via np.cov + eigh (population
+    covariance, /N). NaN until 2 points; NaN when top eigenvalue ≤ 0."""
+    n = len(u)
+    out = {s: np.full(n, np.nan) for s in SHAPE_STATS}
+    for t in range(1, n):
+        pts = np.stack([u[: t + 1], y[: t + 1]])
+        cov = np.cov(pts, bias=True)
+        evals, evecs = np.linalg.eigh(cov)
+        l2, l1 = float(evals[0]), float(evals[1])
+        if l1 <= 0:
+            continue
+        l2 = max(l2, 0.0)
+        out["pca_major"][t] = 2.0 * np.sqrt(l1)
+        out["pca_minor"][t] = 2.0 * np.sqrt(l2)
+        if (l1 - l2) / 2 > 1e-12:  # no principal direction when circular
+            v = evecs[:, 1]
+            out["pca_angle"][t] = np.arctan2(v[1], v[0]) % np.pi
+        out["pca_eccentricity"][t] = np.sqrt((l1 - l2) / l1)
+    return out

@@ -1,0 +1,162 @@
+"""Vectorized kernels vs naive numpy oracles (allclose) + Spark wiring."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nuclei_feature_extraction_spark.functions import kernels, oracle
+from nuclei_feature_extraction_spark.fixtures import gen_transcripts
+
+RNG = np.random.default_rng(123)
+
+
+def _codes_first(n_convs: int, lengths: list[int]):
+    conv = np.repeat(np.arange(n_convs), lengths)
+    first = np.ones(len(conv), dtype=bool)
+    first[1:] = conv[1:] != conv[:-1]
+    return conv, first
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+@pytest.mark.parametrize("k", [4, 8])
+def test_cooc_prefix_matches_naive(d, k):
+    lengths = [1, 2, 7, 40, 90]
+    conv, first = _codes_first(len(lengths), lengths)
+    x = RNG.integers(0, k, len(conv))
+    got = kernels.cooc_prefix(conv, first, x, d, k)
+    start = 0
+    for ln in lengths:
+        seg = slice(start, start + ln)
+        want = oracle.cooc_prefix_naive(x[seg], d, k)
+        for s in oracle.COOC_STATS:
+            np.testing.assert_allclose(
+                got[s][seg], want[s], rtol=1e-9, atol=1e-9, equal_nan=True,
+                err_msg=f"stat={s} d={d} k={k} seg@{start}",
+            )
+        start += ln
+
+
+def test_cooc_constant_stream_nan_bail():
+    """All-equal levels: correlation/imc1 undefined → NaN (variance 0),
+    mirrors the reference's NaN-bail (shape.rs:142-184)."""
+    conv, first = _codes_first(1, [20])
+    x = np.zeros(20, dtype=np.int64)
+    got = kernels.cooc_prefix(conv, first, x, 1, 4)
+    assert np.isnan(got["correlation"][5:]).all()
+    assert np.isnan(got["imc1"][5:]).all()
+    np.testing.assert_allclose(got["contrast"][5:], 0.0)
+    np.testing.assert_allclose(got["asm"][5:], 1.0)
+
+
+def test_runlen_prefix_matches_naive():
+    lengths = [1, 3, 25, 80]
+    conv, first = _codes_first(len(lengths), lengths)
+    x = RNG.integers(0, 4, len(conv))
+    got = kernels.runlen_prefix(conv, first, x)
+    start = 0
+    for ln in lengths:
+        seg = slice(start, start + ln)
+        want = oracle.runlen_prefix_naive(x[seg])
+        for s in oracle.RUNLEN_STATS:
+            np.testing.assert_allclose(
+                got[s][seg], want[s], rtol=1e-9, atol=1e-9, equal_nan=True,
+                err_msg=f"stat={s} seg@{start}",
+            )
+        start += ln
+
+
+def test_shape_prefix_matches_naive():
+    lengths = [1, 2, 30, 60]
+    conv, first = _codes_first(len(lengths), lengths)
+    u = np.cumsum(RNG.random(len(conv)) * 10)
+    y = RNG.random(len(conv)) * 100
+    got = kernels.shape_prefix(conv, first, u, y)
+    start = 0
+    for ln in lengths:
+        seg = slice(start, start + ln)
+        want = oracle.shape_prefix_naive(u[seg], y[seg])
+        for s in oracle.SHAPE_STATS:
+            # atol 3e-5: 2·sqrt(fp-noise) floor — the closed-form minor
+            # axis near rank-1 covariance amplifies ~1e-11 cancellation
+            # error through the sqrt; eigh has the same floor elsewhere
+            np.testing.assert_allclose(
+                got[s][seg], want[s], rtol=1e-6, atol=3e-5, equal_nan=True,
+                err_msg=f"stat={s} seg@{start}",
+            )
+        start += ln
+
+
+def test_compute_features_pdf_on_transcripts():
+    pdf = gen_transcripts(10)
+    pdf["tlen"] = pdf["text"].str.len().astype(float)
+    out = kernels.compute_features_pdf(pdf)
+    assert len(out) == len(pdf)
+    expected = {"conv_id", "turn_idx"} | set(kernels.feature_names())
+    assert set(out.columns) == expected
+    # one conversation cross-checked against the naive oracles end-to-end
+    cid = pdf.groupby("conv_id").size().idxmax()
+    sub = pdf[pdf["conv_id"] == cid].sort_values(["ts", "turn_idx"])
+    x = oracle.discretize_log(sub["tlen"].to_numpy(), 8)
+    want = oracle.cooc_prefix_naive(x, 2, 8)
+    got = (
+        out[out["conv_id"] == cid]
+        .set_index("turn_idx")
+        .loc[sub["turn_idx"].to_numpy()]
+    )
+    np.testing.assert_allclose(
+        got["cooc_entropy_d2_k8"].to_numpy(), want["entropy"],
+        rtol=1e-9, equal_nan=True,
+    )
+
+
+def test_prefix_features_spark_matches_local(spark, tiny_df, tiny_pdf):
+    got = (
+        kernels.prefix_features(tiny_df, lags=(1,), levels=(4,))
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    local = tiny_pdf.copy()
+    local["tlen"] = local["text"].str.len().astype(float)
+    want = (
+        kernels.compute_features_pdf(local, lags=(1,), levels=(4,))
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(tiny_pdf)
+    for c in kernels.feature_names(lags=(1,), levels=(4,)):
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[c].to_numpy(),
+            rtol=1e-9, atol=1e-12, equal_nan=True, err_msg=c,
+        )
+
+
+def test_prefix_features_batch_stitching(spark, tiny_df, tiny_pdf):
+    """Force tiny Arrow batches so conversations straddle batch
+    boundaries; the carry buffer must stitch them losslessly."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        got = (
+            kernels.prefix_features(
+                tiny_df, families=("runlen",), num_partitions=2
+            )
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    local = tiny_pdf.copy()
+    local["tlen"] = local["text"].str.len().astype(float)
+    want = (
+        kernels.compute_features_pdf(local, families=("runlen",))
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(tiny_pdf)
+    np.testing.assert_allclose(
+        got["runlen_gln_role"].to_numpy(),
+        want["runlen_gln_role"].to_numpy(),
+        rtol=1e-9, equal_nan=True,
+    )
