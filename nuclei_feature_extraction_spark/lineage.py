@@ -1,0 +1,93 @@
+"""Per-partition lineage + run metrics.
+
+The reference's only observability is an AtomicU32 progress counter
+(/root/reference/src/main.rs:145-157) and debug-level stage timings; the
+north rule requires per-partition lineage and row-count/latency metrics.
+
+- ``observed``          : attach a Spark ``Observation`` collecting row
+  count, null-key count, and ts bounds in the SAME pass as the action
+  (no extra job — the A15 analog done right).
+- ``partition_metrics`` : per-partition row counts + per-conversation
+  spread (one cheap extra aggregation over ``spark_partition_id()``).
+- ``RunMetrics``        : wall-clock + rows → turns/sec, serialized to
+  JSON next to the output (consumed by checkpoint.py manifests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def observed(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "conv_id",
+) -> tuple[DataFrame, Observation]:
+    """Attach an Observation; read ``obs.get`` AFTER an action runs."""
+    obs = Observation("nfx_metrics")
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col(key_col).isNull().cast("long")).alias("null_keys"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+    )
+    return out, obs
+
+
+def partition_metrics(df: DataFrame, key_col: str = "conv_id") -> DataFrame:
+    """Row count + distinct-conversation count per physical partition —
+    the skew diagnostic (a heavy conv shows up as one fat partition)."""
+    return (
+        df.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct(key_col).alias("approx_convs"),
+        )
+        .orderBy("partition_id")
+    )
+
+
+@dataclass
+class RunMetrics:
+    rows: int
+    wall_seconds: float
+    rows_per_sec: float
+    null_keys: int
+    min_ts: str
+    max_ts: str
+
+    def write(self, out_dir: str, name: str = "metrics.json") -> str:
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, name)
+        with open(path, "w") as fh:
+            json.dump(asdict(self), fh, indent=2, default=str)
+        return path
+
+
+def run_with_metrics(
+    df: DataFrame, action, ts_col: str = "ts", key_col: str = "conv_id"
+) -> tuple[object, RunMetrics]:
+    """Run ``action(observed_df)`` and harvest metrics from the same
+    pass (row count etc. cost nothing extra)."""
+    odf, obs = observed(df, ts_col, key_col)
+    t0 = time.perf_counter()
+    result = action(odf)
+    dt = time.perf_counter() - t0
+    got = obs.get
+    rows = int(got["rows"]) if got["rows"] is not None else 0
+    return result, RunMetrics(
+        rows=rows,
+        wall_seconds=round(dt, 3),
+        rows_per_sec=round(rows / dt, 1) if dt > 0 else 0.0,
+        null_keys=int(got["null_keys"] or 0),
+        min_ts=str(got["min_ts"]),
+        max_ts=str(got["max_ts"]),
+    )

@@ -1,0 +1,111 @@
+"""Checkpoint/resume for long feature backfills (SURVEY.md §4.4).
+
+The reference's resumability is per-slide process isolation
+(/root/reference/run.sh:43-55: a failed slide doesn't kill the batch,
+rerunning skips nothing). Here the unit of recovery is a HASH BUCKET of
+conversations:
+
+- work is split into ``n_buckets`` by ``pmod(xxhash64(conv_id), n)`` —
+  deterministic, so a resumed run recomputes the same membership;
+- buckets are written in groups (one Spark job per group, pruned by a
+  pushed-down bucket filter);
+- a manifest (``_manifest.json``, written atomically via rename) records
+  completed buckets + per-bucket row counts and wall time — the
+  Iceberg-snapshot emulation (snapshot id ≈ manifest version);
+- ``run()`` after a crash skips completed buckets (anti-join by bucket
+  id at the partition-pruning level, not row level).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CheckpointedWriter:
+    def __init__(
+        self,
+        out_dir: str,
+        n_buckets: int = 16,
+        buckets_per_job: int = 4,
+        key_col: str = "conv_id",
+    ) -> None:
+        self.out_dir = out_dir
+        self.n_buckets = n_buckets
+        self.buckets_per_job = buckets_per_job
+        self.key_col = key_col
+        self.manifest_path = os.path.join(out_dir, "_manifest.json")
+
+    # ---------------------------------------------------------- manifest
+
+    def load_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as fh:
+                return json.load(fh)
+        return {"version": 0, "n_buckets": self.n_buckets, "completed": {}}
+
+    def _save_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        os.replace(tmp, self.manifest_path)  # atomic snapshot bump
+
+    def completed_buckets(self) -> set[int]:
+        return {int(b) for b in self.load_manifest()["completed"]}
+
+    # --------------------------------------------------------------- run
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)).cast(
+                "int"
+            ),
+        )
+
+    def run(self, df: DataFrame, fail_after_jobs: int | None = None) -> dict:
+        """Write all pending buckets in groups; resumable at group
+        granularity. ``fail_after_jobs`` injects a crash (tests)."""
+        manifest = self.load_manifest()
+        if manifest["n_buckets"] != self.n_buckets:
+            raise ValueError(
+                f"manifest has n_buckets={manifest['n_buckets']}, "
+                f"writer configured with {self.n_buckets}"
+            )
+        done = {int(b) for b in manifest["completed"]}
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        bdf = self._with_bucket(df)
+        jobs = 0
+        for i in range(0, len(pending), self.buckets_per_job):
+            group = pending[i : i + self.buckets_per_job]
+            if fail_after_jobs is not None and jobs >= fail_after_jobs:
+                raise RuntimeError(f"injected failure before bucket group {group}")
+            t0 = time.perf_counter()
+            part = bdf.filter(F.col("bucket").isin(group))
+            rows_by_bucket = {
+                r["bucket"]: r["n"]
+                for r in part.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            part.write.mode("append").partitionBy("bucket").parquet(
+                os.path.join(self.out_dir, "data")
+            )
+            dt = round(time.perf_counter() - t0, 3)
+            for b in group:
+                manifest["completed"][str(b)] = {
+                    "rows": int(rows_by_bucket.get(b, 0)),
+                    "wall_seconds": dt,
+                }
+            manifest["version"] += 1
+            self._save_manifest(manifest)
+            jobs += 1
+        return manifest
+
+    def read_back(self, spark) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, "data"))

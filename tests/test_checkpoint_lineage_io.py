@@ -1,0 +1,111 @@
+"""Checkpoint/resume, lineage metrics, sink guards, streaming sessions."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nuclei_feature_extraction_spark.lineage import (
+    partition_metrics,
+    run_with_metrics,
+)
+from nuclei_feature_extraction_spark.sources.checkpoint import CheckpointedWriter
+from nuclei_feature_extraction_spark.sources.io import write_features
+
+
+def test_checkpoint_resume_after_injected_crash(spark, tiny_df, tmp_path):
+    out = str(tmp_path / "ckpt")
+    w = CheckpointedWriter(out, n_buckets=8, buckets_per_job=2)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        w.run(tiny_df, fail_after_jobs=2)  # 2 of 4 groups complete
+    m1 = w.load_manifest()
+    assert len(m1["completed"]) == 4 and m1["version"] == 2
+    # resume: only the remaining buckets are written
+    m2 = w.run(tiny_df)
+    assert len(m2["completed"]) == 8
+    got = w.read_back(spark)
+    assert got.count() == tiny_df.count()
+    # no duplicates: resume skipped completed buckets entirely
+    assert got.select("conv_id", "turn_idx").distinct().count() == tiny_df.count()
+    total_manifest_rows = sum(v["rows"] for v in m2["completed"].values())
+    assert total_manifest_rows == tiny_df.count()
+
+
+def test_checkpoint_noop_when_all_done(spark, tiny_df, tmp_path):
+    out = str(tmp_path / "ckpt2")
+    w = CheckpointedWriter(out, n_buckets=4, buckets_per_job=4)
+    w.run(tiny_df)
+    v = w.load_manifest()["version"]
+    w.run(tiny_df)  # idempotent
+    assert w.load_manifest()["version"] == v
+    assert w.read_back(spark).count() == tiny_df.count()
+
+
+def test_run_with_metrics(spark, tiny_df):
+    _, metrics = run_with_metrics(tiny_df, lambda d: d.count())
+    assert metrics.rows == tiny_df.count()
+    assert metrics.null_keys == 0
+    assert metrics.rows_per_sec > 0
+    assert metrics.min_ts.startswith("2024-")
+
+
+def test_partition_metrics(spark, tiny_df):
+    pm = partition_metrics(tiny_df.repartition(4, "conv_id")).toPandas()
+    assert pm["rows"].sum() == tiny_df.count()
+    assert (pm["approx_convs"] >= 1).all()
+
+
+def test_write_features_overwrite_guard(spark, tiny_df, tmp_path):
+    p = str(tmp_path / "out.parquet")
+    write_features(tiny_df.limit(10), p)
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
+        write_features(tiny_df.limit(10), p)
+    write_features(tiny_df.limit(5), p, overwrite=True)
+    assert spark.read.parquet(p).count() == 5
+    with pytest.raises(ValueError, match="unsupported sink"):
+        write_features(tiny_df, str(tmp_path / "out.xlsx"))
+
+
+def test_streaming_sessions_match_batch(spark, tiny_pdf, tmp_path):
+    """Streaming session_window vs batch sessionize on the same data."""
+    from nuclei_feature_extraction_spark.operators import sessionize
+    from nuclei_feature_extraction_spark.streaming import (
+        streaming_session_stats,
+    )
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(tiny_pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_session_stats(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT conv_id, count(*) AS n_sessions, sum(n_turns) AS n_turns "
+        "FROM sess_out GROUP BY conv_id"
+    ).toPandas().set_index("conv_id")
+
+    batch = (
+        sessionize(spark.createDataFrame(tiny_pdf))
+        .groupBy("conv_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    # complete mode emits every session incl. still-open ones (append
+    # mode would hold back sessions inside the final watermark horizon)
+    assert got["n_turns"].sum() == batch["n_turns"].sum()
+    joined = got.join(batch, lsuffix="_s", rsuffix="_b")
+    assert (joined["n_sessions_s"] == joined["n_sessions_b"]).all()
+    assert (joined["n_turns_s"] == joined["n_turns_b"]).all()
