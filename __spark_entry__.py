@@ -269,6 +269,88 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, list(qvec), k=5)
 
 
+
+
+def _nan_to_null(c):
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(~F.isnan(col), col)
+
+
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt events into the transcript shape so the prefix kernels run
+    on driver-provided data with a DuckDB-checkable derivation: the
+    text-length signal is reconstructed as repeat('x', floor(value*10))."""
+    ev = _events(spark, sf_dir)
+    w = _user_window()
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.expr("repeat('x', cast(greatest(floor(value * 10), 0) as int))").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+        "event_id",
+    )
+
+
+def q_prefix_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix Haralick subset (lag 1, 4 levels) through the REAL kernel
+    (mapInPandas incremental path), oracle-checked against an
+    independent pure-SQL implementation of the same cumulative math.
+
+    Only stats with exact-integer accumulators are exposed here (their
+    doubles are bit-identical across engines); float-accumulated stats
+    (idm/entropies) are verified by the numpy oracle in pytest instead
+    — cross-engine summation order would flip 6dp rounding boundaries."""
+    from nuclei_feature_extraction_spark.functions.kernels import prefix_features
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    feats = prefix_features(tr, families=("cooc",), lags=(1,), levels=(4,))
+    keyed = tr.select("conv_id", "turn_idx", "event_id").join(
+        feats, on=["conv_id", "turn_idx"]
+    )
+    sel = {
+        "cooc_contrast_d1_k4": "cooc_contrast",
+        "cooc_dissimilarity_d1_k4": "cooc_dissimilarity",
+        "cooc_sum_average_d1_k4": "cooc_sum_average",
+        "cooc_correlation_d1_k4": "cooc_correlation",
+        "cooc_sum_of_squares_d1_k4": "cooc_sum_of_squares",
+    }
+    return keyed.select(
+        "event_id",
+        *[F.round(_nan_to_null(src), 6).alias(dst) for src, dst in sel.items()],
+    )
+
+
+def q_prefix_runlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix run-length stats (tlen level-4 stream) through the real
+    kernel, vs an independent SQL window implementation."""
+    from nuclei_feature_extraction_spark.functions.kernels import prefix_features
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    feats = prefix_features(tr, families=("runlen",))
+    keyed = tr.select("conv_id", "turn_idx", "event_id").join(
+        feats, on=["conv_id", "turn_idx"]
+    )
+    sel = {
+        "runlen_n_runs_tlen4": "rl_n_runs",
+        "runlen_rp_tlen4": "rl_rp",
+        "runlen_mean_len_tlen4": "rl_mean_len",
+        "runlen_lre_tlen4": "rl_lre",
+        "runlen_gln_tlen4": "rl_gln",
+        "runlen_hgre_tlen4": "rl_hgre",
+    }
+    return keyed.select(
+        "event_id",
+        F.col("runlen_n_runs_tlen4").cast("long").alias("rl_n_runs"),
+        *[
+            F.round(_nan_to_null(src), 6).alias(dst)
+            for src, dst in sel.items()
+            if dst != "rl_n_runs"
+        ],
+    )
+
+
 # ----------------------------------------------------- rows-only checked
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
+        "prefix_cooc": q_prefix_cooc,
+        "prefix_runlen": q_prefix_runlen,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
     }
@@ -482,6 +566,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN {_SWRATIO} >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
             FROM documents
+        """,
+
+        "prefix_cooc": """
+            WITH lv AS (
+              SELECT event_id, user_id, ts, least(3, greatest(0, CAST(floor(ln(1.0 + greatest(floor(value * 10.0), 0)) / ln(4097.0) * 4) AS INT))) AS lev
+              FROM events
+            ), tr AS (
+              SELECT event_id, user_id, ts,
+                     lag(lev) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+                     lev AS j
+              FROM lv
+            ), c AS (
+              SELECT event_id,
+                     SUM(CASE WHEN i IS NULL THEN 0 ELSE 2 END) OVER wf AS s,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 2.0*(i-j)*(i-j) END) OVER wf AS contrast_c,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 2.0*abs(i-j) END) OVER wf AS dissim_c,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 1.0*(i+j) END) OVER wf AS mu_c,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 1.0*(i*i+j*j) END) OVER wf AS m2_c,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 2.0*i*j END) OVER wf AS eij_c
+              FROM tr
+              WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id,
+              round(CASE WHEN s > 0 THEN contrast_c/s END, 6) AS cooc_contrast,
+              round(CASE WHEN s > 0 THEN dissim_c/s END, 6) AS cooc_dissimilarity,
+              round(CASE WHEN s > 0 THEN 2.0*mu_c/s END, 6) AS cooc_sum_average,
+              round(CASE WHEN s > 0 AND (m2_c/s - (mu_c/s)*(mu_c/s)) > 1e-9
+                    THEN (eij_c/s - (mu_c/s)*(mu_c/s))
+                         / (m2_c/s - (mu_c/s)*(mu_c/s)) END, 6) AS cooc_correlation,
+              round(CASE WHEN s > 0 THEN m2_c/s - (mu_c/s)*(mu_c/s) END, 6) AS cooc_sum_of_squares
+            FROM c
+        """,
+        "prefix_runlen": """
+            WITH lv AS (
+              SELECT event_id, user_id, ts, least(3, greatest(0, CAST(floor(ln(1.0 + greatest(floor(value * 10.0), 0)) / ln(4097.0) * 4) AS INT))) AS lev
+              FROM events
+            ), r1 AS (
+              SELECT event_id, user_id, ts, lev,
+                     row_number() OVER w AS rn,
+                     CASE WHEN lag(lev) OVER w IS NULL OR lag(lev) OVER w <> lev
+                          THEN 1 ELSE 0 END AS chg
+              FROM lv WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r2 AS (
+              SELECT *, SUM(chg) OVER wf AS r,
+                     MAX(CASE WHEN chg = 1 THEN rn END) OVER wf AS run_start_rn,
+                     SUM(chg) OVER (PARTITION BY user_id, lev ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS starts_lv
+              FROM r1 WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), r3 AS (
+              SELECT *, rn - run_start_rn + 1 AS len FROM r2
+            ), r4 AS (
+              SELECT event_id, rn, r,
+                SUM(2.0*len - 1.0) OVER wf AS lre_c,
+                SUM(CASE WHEN chg = 1 THEN 2.0*starts_lv - 1.0 ELSE 0.0 END) OVER wf AS gln_c,
+                SUM(CASE WHEN chg = 1 THEN (lev+1.0)*(lev+1.0) ELSE 0.0 END) OVER wf AS hgre_c
+              FROM r3 WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, CAST(r AS BIGINT) AS rl_n_runs,
+              round(r*1.0/rn, 6) AS rl_rp,
+              round(rn*1.0/r, 6) AS rl_mean_len,
+              round(lre_c/r, 6) AS rl_lre,
+              round(gln_c/r, 6) AS rl_gln,
+              round(hgre_c/r, 6) AS rl_hgre
+            FROM r4
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)

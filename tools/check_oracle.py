@@ -53,13 +53,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
             else:
                 ok = (av.astype(str) == bv.astype(str)).all()
             if not ok:
-                bad = (
+                bad = np.asarray(
                     (av.astype(str) != bv.astype(str))
                     if av.dtype.kind not in "fc"
                     else ~np.isclose(av.astype(float), bv.astype(float), equal_nan=True)
                 )
-                i = int(np.argmax(bad.to_numpy()))
-                problems.append(f"col {c}: first diff at row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}")
+                i = int(np.argmax(bad))
+                problems.append(
+                    f"col {c}: {bad.sum()} diffs, first at row {i}: "
+                    f"{av.iloc[i]!r} vs {bv.iloc[i]!r} "
+                    f"(key row: {a.iloc[i].to_dict() if len(a.columns) < 8 else ''})"
+                )
     return problems
 
 
