@@ -27,43 +27,20 @@ def _force(df) -> int:
     return 0
 
 
-def transcript_pipeline(spark: SparkSession, fixture_dir: str):
-    """The flagship feature job on the synthetic transcript table:
-    sessionize + lag/rolling/circular window features + keyed as-of
-    against side_user_profile + keyless broadcast as-of against
-    side_model_config."""
-    from pyspark.sql import functions as F
-
-    from nuclei_feature_extraction_spark.functions.timeutil import epoch_seconds
-    from nuclei_feature_extraction_spark.operators import (
-        asof_join,
-        asof_join_broadcast,
-        sessionize,
-        with_lag_lead,
-        with_masked_rolling,
-        with_rolling,
-    )
-    from nuclei_feature_extraction_spark.operators.windows import (
-        multi_scale_rolling_bank,
-        with_circular_time_mean,
-    )
+def transcript_pipeline(spark: SparkSession, fixture_dir: str, feature_sets=("all",)):
+    """The flagship feature job on the synthetic transcript table: the
+    full registry — sessionize, lag/rolling/masked/circular/bank window
+    features, all three prefix-kernel families, keyed as-of against
+    side_user_profile, keyless broadcast as-of against side_model_config
+    — assembled by plans.pipeline.build_features."""
+    from nuclei_feature_extraction_spark.plans.pipeline import build_features
 
     tr = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
     prof = spark.read.parquet(os.path.join(fixture_dir, "side_user_profile.parquet"))
     cfg = spark.read.parquet(os.path.join(fixture_dir, "side_model_config.parquet"))
-
-    df = tr.withColumn("tlen", F.length("text").cast("double"))
-    df = sessionize(df)
-    df = with_lag_lead(df, ["tlen", "role"], lags=(1, 2, 3))
-    df = with_rolling(df, "tlen", stats=("mean", "std", "min", "max"), rows=20)
-    df = with_masked_rolling(
-        df, "tlen", F.col("role") == "assistant", "asst", rows=20
+    return build_features(
+        tr, feature_sets, side_profile=prof, side_config=cfg
     )
-    df = with_circular_time_mean(df, rows=20)
-    df = multi_scale_rolling_bank(df, "tlen", windows=(4, 16, 64), stats=("mean", "std"))
-    df = asof_join(df, prof, on="conv_id", tie_cols=("plan",))
-    df = asof_join_broadcast(df, cfg)
-    return df
 
 
 def main() -> None:
@@ -103,11 +80,14 @@ def main() -> None:
         _force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # transcript flagship: the north-rule metric (turns/sec)
-    pipe = transcript_pipeline(spark, fixture_dir)
+    # transcript flagship: the north-rule metric (turns/sec).
+    # Warm the plan once (codegen + python worker pool) on a slice, then
+    # measure the full pass.
     n_turns = spark.read.parquet(
         os.path.join(fixture_dir, "transcripts.parquet")
     ).count()
+    _force(transcript_pipeline(spark, fixture_dir).limit(20_000))
+    pipe = transcript_pipeline(spark, fixture_dir)
     t0 = time.perf_counter()
     _force(pipe)
     dt = time.perf_counter() - t0

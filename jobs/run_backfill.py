@@ -1,0 +1,99 @@
+"""spark-submit entry point for the feature backfill — the analog of
+the reference's CLI (``nuclei-feature-extraction <geojson> <slide>
+<output> <feature-sets...>``, /root/reference/src/args.rs:18-32).
+
+On a cluster:
+
+    spark-submit --py-files nfx.zip jobs/run_backfill.py \
+        --transcripts s3://…/transcripts \
+        --side-profile s3://…/side_user_profile \
+        --output s3://…/features.parquet \
+        --feature-sets all --n-buckets 256 --overwrite
+
+Resumable: with --checkpoint-dir, work is split into conv_id hash
+buckets with a manifest; rerunning after a failure skips completed
+buckets (sources/checkpoint.py). Package the library with
+``python tools/package.py`` → dist/nfx.zip for --py-files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# local runs from the repo: jobs/ is the script dir, the package lives one
+# level up (on a cluster --py-files puts the zip on every path instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--transcripts", required=True, help="input table path (parquet dir/file, json, csv)")
+    p.add_argument("--side-profile", default=None, help="keyed as-of side table (conv_id, effective_ts, …)")
+    p.add_argument("--side-config", default=None, help="keyless broadcast as-of side table (effective_ts, …)")
+    p.add_argument("--output", required=True, help="sink path (.parquet/.pqt/.csv/.json)")
+    p.add_argument("--feature-sets", nargs="+", default=["all"],
+                   help="registry names/aliases (plans/registry.py); "
+                   "invalid names fail before execution, like args.rs:137-183")
+    p.add_argument("--cooc-lags", nargs="+", type=int, default=[1, 2])
+    p.add_argument("--cooc-levels", nargs="+", type=int, default=[4, 8])
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="enable bucket-manifest resume under this dir")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--metrics-out", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    # fail-fast validation BEFORE touching Spark (analyzer-style errors,
+    # reference validates paths/sets pre-execution, args.rs:137-183)
+    from nuclei_feature_extraction_spark.plans.registry import expand_feature_sets
+
+    names = expand_feature_sets(args.feature_sets)
+
+    from nuclei_feature_extraction_spark.lineage import run_with_metrics
+    from nuclei_feature_extraction_spark.plans.pipeline import build_features
+    from nuclei_feature_extraction_spark.session import get_spark
+    from nuclei_feature_extraction_spark.sources.checkpoint import CheckpointedWriter
+    from nuclei_feature_extraction_spark.sources.io import (
+        read_transcripts,
+        write_features,
+    )
+
+    spark = get_spark(app_name="nfx-backfill")
+    tr = read_transcripts(spark, args.transcripts)
+    side_profile = (
+        spark.read.parquet(args.side_profile) if args.side_profile else None
+    )
+    side_config = spark.read.parquet(args.side_config) if args.side_config else None
+
+    features = build_features(
+        tr,
+        names,
+        side_profile=side_profile,
+        side_config=side_config,
+        lags=tuple(args.cooc_lags),
+        levels=tuple(args.cooc_levels),
+    )
+
+    if args.checkpoint_dir:
+        writer = CheckpointedWriter(args.checkpoint_dir, n_buckets=args.n_buckets)
+        _, metrics = run_with_metrics(features, writer.run)
+    else:
+        _, metrics = run_with_metrics(
+            features, lambda d: write_features(d, args.output, overwrite=args.overwrite)
+        )
+    if args.metrics_out:
+        metrics.write(args.metrics_out)
+    print(json.dumps({"rows": metrics.rows, "wall_seconds": metrics.wall_seconds,
+                      "rows_per_sec": metrics.rows_per_sec}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -272,9 +272,12 @@ def compute_features_pdf(
     levels: Sequence[int] = DEFAULT_LEVELS,
     conv_col: str = "conv_id",
     order_cols: Sequence[str] = ("ts", "turn_idx"),
+    passthrough: bool = False,
 ) -> pd.DataFrame:
     """Compute all requested families for a pandas chunk holding WHOLE
-    conversations. Returns (conv_id, turn_idx) + feature columns.
+    conversations. Returns (conv_id, turn_idx) + feature columns, or —
+    with ``passthrough`` — ALL input columns + features (row-aligned,
+    saving the downstream key join entirely).
 
     Shared intermediates (sort, conv codes, tlen levels) are computed
     once across families — the CSE the reference misses when it
@@ -288,10 +291,13 @@ def compute_features_pdf(
     first[1:] = conv[1:] != conv[:-1]
 
     tlen = pdf["tlen"].to_numpy(dtype=np.float64)
-    out = {
-        conv_col: pdf[conv_col].to_numpy(),
-        "turn_idx": pdf["turn_idx"].to_numpy(),
-    }
+    if passthrough:
+        out = {c: pdf[c].to_numpy() for c in pdf.columns}
+    else:
+        out = {
+            conv_col: pdf[conv_col].to_numpy(),
+            "turn_idx": pdf["turn_idx"].to_numpy(),
+        }
     if "cooc" in families:
         for k in levels:
             xk = discretize_log(tlen, k)
@@ -331,35 +337,48 @@ def prefix_features(
     role_col: str = "role",
     tool_col: str = "tool",
     num_partitions: int | None = None,
+    passthrough: bool = False,
 ):
     """Distributed prefix-feature pass: ONE shuffle (repartition by
     conversation) + in-partition sort + ``mapInPandas`` with a carry
     buffer stitching conversations that span Arrow batches.
 
-    Returns (conv_id, turn_idx, <features…>); join back on the key for
-    the full frame (J2 analog — key-based, never order-based).
+    Returns (conv_id, turn_idx, <features…>), or — with ``passthrough``
+    — every input column + features, row-aligned inside the kernel, so
+    the caller skips the (conv_id, turn_idx) sort-merge join entirely
+    (measured: the join costs more than the kernels themselves at
+    bench scale). Key-joined mode remains for composing with frames the
+    kernel didn't see (J2 analog — key-based, never order-based).
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     names = feature_names(families, lags, levels)
-    turn_t = df.schema["turn_idx"].dataType
-    schema = T.StructType(
-        [
-            T.StructField(conv_col, df.schema[conv_col].dataType, False),
-            T.StructField("turn_idx", turn_t, False),
+    if passthrough:
+        base_fields = list(df.schema.fields) + [
+            T.StructField("tlen", T.DoubleType(), True)
         ]
-        + [T.StructField(nm, T.DoubleType(), True) for nm in names]
+        prep_cols = [F.col(c) for c in df.columns] + [
+            F.length(F.col(text_col)).cast("double").alias("tlen")
+        ]
+    else:
+        base_fields = [
+            T.StructField(conv_col, df.schema[conv_col].dataType, False),
+            T.StructField("turn_idx", df.schema["turn_idx"].dataType, False),
+        ]
+        prep_cols = [
+            F.col(conv_col),
+            F.col("turn_idx"),
+            F.col("ts"),
+            F.col(role_col).alias("role"),
+            F.col(tool_col).alias("tool"),
+            F.length(F.col(text_col)).cast("double").alias("tlen"),
+        ]
+    schema = T.StructType(
+        base_fields + [T.StructField(nm, T.DoubleType(), True) for nm in names]
     )
 
-    prep = df.select(
-        F.col(conv_col),
-        F.col("turn_idx"),
-        F.col(order_cols[0]).alias("ts") if order_cols[0] != "ts" else F.col("ts"),
-        F.col(role_col).alias("role"),
-        F.col(tool_col).alias("tool"),
-        F.length(F.col(text_col)).cast("double").alias("tlen"),
-    )
+    prep = df.select(*prep_cols)
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     prep = prep.repartition(nparts, conv_col).sortWithinPartitions(
         conv_col, *order_cols
@@ -380,11 +399,13 @@ def prefix_features(
             head = pdf[~tail.to_numpy()]
             if len(head):
                 yield compute_features_pdf(
-                    head, families, lags, levels, conv_col, order_cols
+                    head, families, lags, levels, conv_col, order_cols,
+                    passthrough=passthrough,
                 )
         if carry is not None and len(carry):
             yield compute_features_pdf(
-                carry, families, lags, levels, conv_col, order_cols
+                carry, families, lags, levels, conv_col, order_cols,
+                passthrough=passthrough,
             )
 
     return prep.mapInPandas(gen, schema)

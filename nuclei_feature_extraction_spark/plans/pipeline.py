@@ -61,7 +61,23 @@ def build_features(
     turn, leakage-free.
     """
     names = expand_feature_sets(feature_sets)
-    out = df.withColumn("tlen", F.length("text").cast("double"))
+
+    # kernels FIRST, in passthrough mode: the mapInPandas pass emits all
+    # input columns + features row-aligned, so no (conv_id, turn_idx)
+    # sort-merge join is needed (measured at bench scale: that join cost
+    # more than the kernels themselves); window features stack on top.
+    kernel_fams = [n for n in names if n in KERNEL_FAMILIES]
+    if kernel_fams:
+        out = prefix_features(
+            df,
+            families=kernel_fams,
+            lags=lags,
+            levels=levels,
+            num_partitions=num_partitions,
+            passthrough=True,
+        )
+    else:
+        out = df.withColumn("tlen", F.length("text").cast("double"))
 
     if "session" in names:
         out = sessionize(out)
@@ -79,17 +95,6 @@ def build_features(
         out = multi_scale_rolling_bank(
             out, "tlen", windows=(4, 16, 64), stats=("mean", "std")
         )
-
-    kernel_fams = [n for n in names if n in KERNEL_FAMILIES]
-    if kernel_fams:
-        feats = prefix_features(
-            df,
-            families=kernel_fams,
-            lags=lags,
-            levels=levels,
-            num_partitions=num_partitions,
-        )
-        out = out.join(feats, on=["conv_id", "turn_idx"], how="left")
 
     if side_profile is not None:
         out = asof_join(

@@ -1,0 +1,99 @@
+"""Scaling-efficiency evidence (BASELINE.json north rule: ≥0.8 from N
+to 4N parallelism; no real cluster in this sandbox, so the same job runs
+at local[8] and local[32] on identical input — per driver instruction).
+
+Each parallelism level runs in a FRESH process (one JVM each): warmup
+pass (codegen + python worker pool + page cache) then two measured
+passes; best-of-2 is reported (steady-state throughput, not JVM warmup).
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python tools/scaling_bench.py [--scale bench]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from nuclei_feature_extraction_spark.session import get_spark
+from nuclei_feature_extraction_spark.fixtures import fixtures_dir
+from bench import transcript_pipeline, _force
+
+cpus = int(sys.argv[1]); scale = sys.argv[2]
+spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus,
+                  app_name=f"nfx-scaling-{{cpus}}")
+d = fixtures_dir(scale)
+n = spark.read.parquet(f"{{d}}/transcripts.parquet").count()
+_force(transcript_pipeline(spark, d).limit(20_000))  # warmup
+times = []
+for _ in range(2):
+    t0 = time.perf_counter()
+    _force(transcript_pipeline(spark, d))
+    times.append(time.perf_counter() - t0)
+best = min(times)
+print(json.dumps({{"cpus": cpus, "rows": n, "wall_all": [round(t,1) for t in times],
+                   "wall": round(best, 2), "turns_per_sec": round(n / best, 1)}}))
+"""
+
+
+def run_level(cpus: int, scale: str) -> dict:
+    code = RUNNER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), scale],
+        capture_output=True, text=True, timeout=3000, cwd=REPO,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result for local[{cpus}]: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    scale = sys.argv[sys.argv.index("--scale") + 1] if "--scale" in sys.argv else "bench"
+    lo = run_level(8, scale)
+    hi = run_level(32, scale)
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+    result = {
+        "scale": scale,
+        "rows": lo["rows"],
+        "local8": lo,
+        "local32": hi,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(
+            "# BENCH/BASELINE — throughput + scaling evidence\n\n"
+            "Job: full transcript feature pipeline (`plans.pipeline."
+            "build_features(['all'])` + both as-of side joins) on the "
+            f"deterministic `{scale}` fixture "
+            f"({lo['rows']:,} turns, seed 42). Same input at two "
+            "parallelism levels, fresh JVM each, warmup pass excluded, "
+            "best of 2 measured passes.\n\n"
+            "| run | parallelism | input rows | wall s | turns/s | efficiency vs local[8] |\n"
+            "|---|---|---|---|---|---|\n"
+            f"| flagship | local[8] | {lo['rows']:,} | {lo['wall']} | "
+            f"{lo['turns_per_sec']:,} | 1.00 |\n"
+            f"| flagship | local[32] | {hi['rows']:,} | {hi['wall']} | "
+            f"{hi['turns_per_sec']:,} | {round(eff, 3)} (target ≥ 0.8) |\n\n"
+            f"Scaling efficiency (N→4N cores): **{round(eff, 3)}** — "
+            f"{'PASS' if eff >= 0.8 else 'FAIL'} vs the ≥0.8 north-rule "
+            "criterion.\n\n"
+            "All measured walls: "
+            f"local[8] {lo['wall_all']}, local[32] {hi['wall_all']}.\n"
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
