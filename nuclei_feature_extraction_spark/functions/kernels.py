@@ -239,9 +239,30 @@ def shape_prefix(
         angle = np.where(
             valid & (disc > 1e-12), np.arctan2(vy, vx) % np.pi, np.nan
         )
+    # A8-A10 analogs: arc length (cumsum of segment lengths), bounding
+    # span area (segmented cummax/cummin), compacity = len²/(4π·area)
+    n = len(u)
+    du = u - u[np.maximum(np.arange(n) - 1, 0)]
+    dy = y - y[np.maximum(np.arange(n) - 1, 0)]
+    seglen = np.where(first, 0.0, np.sqrt(du**2 + dy**2))
+    path = _seg_cumsum(seglen, first)
+    seg = np.cumsum(first)
+    gb_u = pd.Series(u).groupby(seg)
+    gb_y = pd.Series(y).groupby(seg)
+    span_u = gb_u.cummax().to_numpy() - gb_u.cummin().to_numpy()
+    span_y = gb_y.cummax().to_numpy() - gb_y.cummin().to_numpy()
+    area = span_u * span_y
+    two_plus = np1 >= 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        compacity = np.where(
+            two_plus & (area > 0), path**2 / (4 * np.pi * area), np.nan
+        )
     return {
         "pca_major": major, "pca_minor": minor,
         "pca_angle": angle, "pca_eccentricity": ecc,
+        "path_len": np.where(two_plus, path, np.nan),
+        "span_area": np.where(two_plus, area, np.nan),
+        "compacity": compacity,
     }
 
 

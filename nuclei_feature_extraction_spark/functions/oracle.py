@@ -32,7 +32,12 @@ COOC_STATS = [
 RUNLEN_STATS = [
     "n_runs", "rp", "mean_len", "sre", "lre", "rlvar", "gln", "lgre", "hgre",
 ]
-SHAPE_STATS = ["pca_major", "pca_minor", "pca_angle", "pca_eccentricity"]
+SHAPE_STATS = [
+    "pca_major", "pca_minor", "pca_angle", "pca_eccentricity",
+    # A8-A10 analogs: trajectory arc length (perimeter, shape.rs:89-92),
+    # bounding span area (area), compacity = perimeter²/(4π·area)
+    "path_len", "span_area", "compacity",
+]
 
 
 def discretize_log(values: np.ndarray, k: int, scale: float = 4096.0) -> np.ndarray:
@@ -138,6 +143,14 @@ def shape_prefix_naive(u: np.ndarray, y: np.ndarray) -> dict[str, np.ndarray]:
     n = len(u)
     out = {s: np.full(n, np.nan) for s in SHAPE_STATS}
     for t in range(1, n):
+        uu, yy = u[: t + 1], y[: t + 1]
+        out["path_len"][t] = float(
+            np.sqrt(np.diff(uu) ** 2 + np.diff(yy) ** 2).sum()
+        )
+        area = float((uu.max() - uu.min()) * (yy.max() - yy.min()))
+        out["span_area"][t] = area
+        if area > 0:
+            out["compacity"][t] = out["path_len"][t] ** 2 / (4 * np.pi * area)
         pts = np.stack([u[: t + 1], y[: t + 1]])
         cov = np.cov(pts, bias=True)
         evals, evecs = np.linalg.eigh(cov)
