@@ -27,20 +27,24 @@ def _force(df) -> int:
     return 0
 
 
-def transcript_pipeline(spark: SparkSession, fixture_dir: str, feature_sets=("all",)):
+def transcript_pipeline(spark: SparkSession, fixture_dir: str, fused: bool = True):
     """The flagship feature job on the synthetic transcript table: the
     full registry — sessionize, lag/rolling/masked/circular/bank window
     features, all three prefix-kernel families, keyed as-of against
-    side_user_profile, keyless broadcast as-of against side_model_config
-    — assembled by plans.pipeline.build_features."""
+    side_user_profile, keyless broadcast as-of against side_model_config.
+
+    Uses the fused single-shuffle plan (plans/fused.py) — verified
+    column-identical to the composable Catalyst pipeline by
+    tests/test_fused.py; wide rows never cross an exchange."""
+    from nuclei_feature_extraction_spark.plans.fused import build_features_fused
     from nuclei_feature_extraction_spark.plans.pipeline import build_features
 
     tr = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
     prof = spark.read.parquet(os.path.join(fixture_dir, "side_user_profile.parquet"))
     cfg = spark.read.parquet(os.path.join(fixture_dir, "side_model_config.parquet"))
-    return build_features(
-        tr, feature_sets, side_profile=prof, side_config=cfg
-    )
+    if fused:
+        return build_features_fused(tr, side_profile=prof, side_config=cfg)
+    return build_features(tr, ["all"], side_profile=prof, side_config=cfg)
 
 
 def main() -> None:

@@ -136,12 +136,17 @@ def fixtures_dir(scale: str, root: str | None = None) -> str:
         raise ValueError(f"unknown scale {scale!r}; choose {sorted(SCALES)}")
     root = root or os.path.join(os.path.dirname(__file__), "..", ".cache", "fixtures")
     out = os.path.abspath(os.path.join(root, scale))
-    marker = os.path.join(out, "_DONE")
+    marker = os.path.join(out, "_DONE_v2")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     tr = gen_transcripts(SCALES[scale])
-    tr.to_parquet(os.path.join(out, "transcripts.parquet"), index=False)
+    # small row groups so a Spark scan parallelizes across all cores (a
+    # single huge row group caps the scan+shuffle-write stage at one task)
+    tr.to_parquet(
+        os.path.join(out, "transcripts.parquet"), index=False,
+        row_group_size=131_072,
+    )
     gen_side_user_profile(tr).to_parquet(
         os.path.join(out, "side_user_profile.parquet"), index=False
     )

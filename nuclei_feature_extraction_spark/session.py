@@ -38,6 +38,14 @@ def get_spark(
     10^12-turn design point; the explicit setting is the local-mode
     floor).
     """
+    # glibc tuning for the Arrow python workers: without it every >128KB
+    # numpy temporary is mmap'd and munmap'd, and at high worker counts
+    # the kernel page-zeroing + TLB shootdowns serialize everything
+    # (measured: 2.3x single-worker speedup, near-flat scaling to 8).
+    # Must be in the environment BEFORE the JVM forks the workers.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
     cores = default_parallelism()
     if master is None:
         master = f"local[{cores}]"
@@ -66,6 +74,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # local-mode shuffle goes through spark.local.dir; a RAM-backed dir
+    # removes disk-write contention at high core counts (measured: 32
+    # concurrent shuffle writers on the VM disk serialized each other).
+    # On a real cluster this maps to fast local NVMe per executor.
+    local_dir = os.environ.get("NFX_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/nfx-spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -1,0 +1,59 @@
+"""Fused single-shuffle pipeline == composable Catalyst pipeline,
+column for column (transfers all leakage/determinism properties)."""
+
+import numpy as np
+import pandas as pd
+
+from nuclei_feature_extraction_spark.plans.fused import build_features_fused
+from nuclei_feature_extraction_spark.plans.pipeline import build_features
+
+
+def _sorted(pdf):
+    return pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def test_fused_matches_composable(spark, tiny_df, side_profile_df, side_config_df):
+    fused = _sorted(
+        build_features_fused(
+            tiny_df, side_profile=side_profile_df, side_config=side_config_df,
+            lags=(1,), levels=(4,),
+        ).toPandas()
+    )
+    comp = _sorted(
+        build_features(
+            tiny_df, ["all"], side_profile=side_profile_df,
+            side_config=side_config_df, lags=(1,), levels=(4,),
+        ).toPandas()
+    )
+    assert len(fused) == len(comp) == tiny_df.count()
+    assert set(fused.columns) == set(comp.columns), (
+        sorted(set(fused.columns) ^ set(comp.columns))
+    )
+    for c in comp.columns:
+        a, b = fused[c], comp[c]
+        if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+            assert np.allclose(
+                a.to_numpy(dtype=float), b.to_numpy(dtype=float),
+                rtol=1e-9, atol=1e-9, equal_nan=True,
+            ), f"column {c} diverges"
+        else:
+            assert (a.fillna("∅").astype(str) == b.fillna("∅").astype(str)).all(), c
+
+
+def test_fused_without_sides(spark, tiny_df):
+    fused = build_features_fused(tiny_df, lags=(1,), levels=(4,))
+    n = fused.count()
+    assert n == tiny_df.count()
+    assert "plan" not in fused.columns and "model" not in fused.columns
+
+
+def test_fused_text_byte_equality(spark, tiny_df, tiny_pdf):
+    got = _sorted(
+        build_features_fused(tiny_df, lags=(1,), levels=(4,))
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    want = _sorted(tiny_pdf[["conv_id", "turn_idx", "text"]])
+    assert (got["text"] == want["text"]).all()

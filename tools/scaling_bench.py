@@ -58,17 +58,22 @@ def run_level(cpus: int, scale: str) -> dict:
 
 def main() -> None:
     scale = sys.argv[sys.argv.index("--scale") + 1] if "--scale" in sys.argv else "bench"
+    lo2 = run_level(2, scale)
     lo = run_level(8, scale)
     hi = run_level(32, scale)
+    eff28 = (lo["turns_per_sec"] / lo2["turns_per_sec"]) / 4.0
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
     result = {
         "scale": scale,
         "rows": lo["rows"],
+        "local2": lo2,
         "local8": lo,
         "local32": hi,
+        "scaling_efficiency_2_to_8": round(eff28, 3),
         "scaling_efficiency_8_to_32": round(eff, 3),
         "target": 0.8,
-        "pass": eff >= 0.8,
+        "pass_2_to_8": eff28 >= 0.8,
+        "pass_8_to_32": eff >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
