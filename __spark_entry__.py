@@ -237,6 +237,19 @@ def q_event_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day bucket) — grouping-set breadth
+    (absent in the reference, free in both engines)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "hour_bucket", (F.hour("ts") / 6).cast("int")
+    )
+    return (
+        ev.cube("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
 # ------------------------------------------------------------- documents
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_length_stats": q_run_length_stats,
         "transition_counts": q_transition_counts,
         "event_type_agg": q_event_type_agg,
+        "event_cube": q_event_cube,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "quality": q_quality,
@@ -536,6 +550,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type
+        """,
+        "event_cube": """
+            SELECT event_type, hour_bucket, count(*) AS n,
+                   round(avg(value), 6) AS avg_value
+            FROM (SELECT *, CAST(floor(CAST(extract(hour FROM ts) AS DOUBLE) / 6) AS INT) AS hour_bucket
+                  FROM events)
+            GROUP BY CUBE (event_type, hour_bucket)
         """,
         "dedup_exact": """
             SELECT doc_id,
