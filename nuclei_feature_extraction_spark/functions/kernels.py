@@ -312,20 +312,20 @@ def compute_features_pdf(
     first[1:] = conv[1:] != conv[:-1]
 
     tlen = pdf["tlen"].to_numpy(dtype=np.float64)
-    if passthrough:
-        out = {c: pdf[c].to_numpy() for c in pdf.columns}
-    else:
-        out = {
-            conv_col: pdf[conv_col].to_numpy(),
-            "turn_idx": pdf["turn_idx"].to_numpy(),
-        }
+    # feature values go into ONE preallocated (n_feats, n) block wrapped
+    # as a DataFrame without consolidation — pandas' dict constructor
+    # spends ~70% of kernel wall re-stacking 87 float columns
+    names = feature_names(families, lags, levels)
+    slot = {nm: i for i, nm in enumerate(names)}
+    block = np.empty((len(names), n), dtype=np.float64)
+    out: dict[str, np.ndarray] = {}
     if "cooc" in families:
         for k in levels:
             xk = discretize_log(tlen, k)
             for d in lags:
                 stats = cooc_prefix(conv, first, xk, d, k)
                 for s, v in stats.items():
-                    out[f"cooc_{s}_d{d}_k{k}"] = v
+                    block[slot[f"cooc_{s}_d{d}_k{k}"]] = v
     if "runlen" in families:
         role = (
             pdf["role"].map(ROLE_IDX).fillna(4).to_numpy(dtype=np.int64)
@@ -335,14 +335,26 @@ def compute_features_pdf(
         for sig, arr in (("role", role), ("has_tool", has_tool), ("tlen4", tlen4)):
             stats = runlen_prefix(conv, first, arr)
             for s, v in stats.items():
-                out[f"runlen_{s}_{sig}"] = v
+                block[slot[f"runlen_{s}_{sig}"]] = v
     if "shape" in families:
         ts_s = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64) / 1e9
         t0 = ts_s[np.maximum.accumulate(np.where(first, np.arange(n), 0))]
         stats = shape_prefix(conv, first, ts_s - t0, tlen)
         for s, v in stats.items():
-            out[f"shape_{s}"] = v
-    return pd.DataFrame(out)
+            block[slot[f"shape_{s}"]] = v
+
+    fdf = pd.DataFrame(block.T, columns=names, copy=False)
+    if passthrough:
+        base = pdf.reset_index(drop=True)
+    else:
+        base = pd.DataFrame(
+            {
+                conv_col: pdf[conv_col].to_numpy(),
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+            }
+        )
+    fdf.index = base.index
+    return pd.concat([base, fdf], axis=1, copy=False)
 
 
 # ----------------------------------------------------------- spark layer
