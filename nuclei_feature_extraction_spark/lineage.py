@@ -55,6 +55,25 @@ def partition_metrics(df: DataFrame, key_col: str = "conv_id") -> DataFrame:
     )
 
 
+def asof_match_stats(
+    joined: DataFrame, probe_col: str, key_col: str = "conv_id"
+) -> DataFrame:
+    """Per-partition matched/unmatched counts after a LEFT as-of join —
+    the drop-counter the reference lacks (it silently filter_maps failed
+    lookups away, /root/reference/src/utils.rs:110-126). ``probe_col``
+    is any right-side value column (null ⇔ no match)."""
+    return (
+        joined.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col(probe_col).isNull().cast("long")).alias("unmatched"),
+            F.approx_count_distinct(key_col).alias("approx_convs"),
+        )
+        .orderBy("partition_id")
+    )
+
+
 @dataclass
 class RunMetrics:
     rows: int

@@ -109,3 +109,16 @@ def test_streaming_sessions_match_batch(spark, tiny_pdf, tmp_path):
     joined = got.join(batch, lsuffix="_s", rsuffix="_b")
     assert (joined["n_sessions_s"] == joined["n_sessions_b"]).all()
     assert (joined["n_turns_s"] == joined["n_turns_b"]).all()
+
+
+def test_lineage_asof_drops(spark, tiny_df, side_profile_df):
+    from nuclei_feature_extraction_spark.lineage import asof_match_stats
+    from nuclei_feature_extraction_spark.operators import asof_join
+
+    joined = asof_join(tiny_df, side_profile_df, on="conv_id", tie_cols=("plan",))
+    stats = asof_match_stats(joined, "plan").toPandas()
+    assert stats["rows"].sum() == tiny_df.count()
+    total_unmatched = stats["unmatched"].sum()
+    # fixture: ~30% of convs missing + updates can postdate early turns
+    direct = joined.filter("plan IS NULL").count()
+    assert total_unmatched == direct > 0
