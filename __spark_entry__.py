@@ -45,6 +45,8 @@ EVENT_ORDER = ("ts", "event_id")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # oracle parity needs UTC epoch math regardless of the host session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
@@ -376,6 +378,33 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(_documents(spark, sf_dir), max_hamming=6)
 
 
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification of MinHash-LSH candidates."""
+    from nuclei_feature_extraction_spark.operators.dedup import ngram_jaccard_verify
+
+    docs = _documents(spark, sf_dir)
+    cands = minhash_lsh_pairs(docs)
+    return ngram_jaccard_verify(docs, cands).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (multi-table LSH + exact verify)."""
+    from nuclei_feature_extraction_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    # the synthetic embeddings are near-orthogonal (max off-diag cosine
+    # ~0.37), so the "duplicate" threshold is lowered to exercise the
+    # candidate-generation + exact-verify path with a non-empty result
+    return embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), dim=64, threshold=0.25
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full point-in-time feature pass over sf0.001 events —
     sessionize + lag/rolling window features + per-user as-of backfill
@@ -420,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_runlen": q_prefix_runlen,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 

@@ -182,3 +182,31 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (id_a, id_b): join the
+    shingle SETS back to the candidates and compute
+    |A∩B| / |A∪B| with array_intersect/array_union — JVM-side, no
+    Python. Use after LSH to turn candidates into verified duplicates."""
+    sh = F.array_distinct(_word_shingles(text_col, shingle))
+    docs = df.select(F.col(id_col), sh.alias("__sh"))
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(1.0)),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )

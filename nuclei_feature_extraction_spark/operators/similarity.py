@@ -113,3 +113,45 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: ``n_tables``
+    independent hyperplane-LSH signatures (near-identical vectors agree
+    on a full signature with high probability), candidates = same-bucket
+    pairs in ANY table, verified by exact cosine ≥ threshold. Shuffles
+    only (table, 64-bit signature) keys — never the vectors pairwise."""
+    cand = None
+    for t in range(n_tables):
+        sig = with_lsh_signature(
+            df, dim, n_planes, vec_col, seed=42 + 1000 * t, out_col="__sig"
+        ).select(F.col(id_col), F.col(vec_col), F.col("__sig"))
+        a = sig.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__sig"
+        )
+        b = sig.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__sig"
+        )
+        p = (
+            a.join(b, "__sig")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb")
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    sim = cosine_sim(
+        F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>")
+    )
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .withColumn("sim", F.round(sim, 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -105,3 +105,40 @@ def test_cosine_topk_exact_vs_numpy(spark):
     sims = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
     want = np.argsort(-sims, kind="stable")[:7]
     assert got.vec_id.tolist() == list(want)
+
+
+def test_ngram_jaccard_verify_exact_values(spark, planted_docs):
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        ngram_jaccard_verify,
+    )
+
+    pairs = minhash_lsh_pairs(planted_docs, num_perm=64, bands=16)
+    verified = ngram_jaccard_verify(planted_docs, pairs).toPandas()
+    byp = {tuple(sorted((a, b))): j for a, b, j in verified.itertuples(index=False)}
+    assert byp.get((5, 200)) == 1.0  # exact duplicate
+    # one-token edit in a 60-token doc: 58-shingle docs share all but 3
+    for i in range(10):
+        if (i, 100 + i) in byp:
+            assert 0.8 < byp[(i, 100 + i)] < 1.0
+
+
+def test_embedding_near_dup_pairs(spark):
+    from nuclei_feature_extraction_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((100, 16)).astype(np.float32)
+    # plant 5 near-duplicates of vectors 0..4 (tiny perturbation)
+    dup = base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01
+    vecs = np.vstack([base, dup])
+    pdf = pd.DataFrame(
+        {"vec_id": range(105), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    got = embedding_near_dup_pairs(
+        spark.createDataFrame(pdf), dim=16, threshold=0.98
+    ).toPandas()
+    found = {tuple(sorted(p)) for p in zip(got.id_a, got.id_b)}
+    planted = {(i, 100 + i) for i in range(5)}
+    assert len(found & planted) >= 4  # multi-table LSH recall
+    assert (got.sim >= 0.98).all()
