@@ -72,21 +72,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     side_config = spark.read.parquet(args.side_config) if args.side_config else None
 
-    features = build_features(
-        tr,
-        names,
-        side_profile=side_profile,
-        side_config=side_config,
-        lags=tuple(args.cooc_lags),
-        levels=tuple(args.cooc_levels),
-    )
+    def pipeline(src):
+        return build_features(
+            src,
+            names,
+            side_profile=side_profile,
+            side_config=side_config,
+            lags=tuple(args.cooc_lags),
+            levels=tuple(args.cooc_levels),
+        )
 
     if args.checkpoint_dir:
+        # bucket filter lands on the SOURCE; resume recomputes only
+        # pending buckets' features
         writer = CheckpointedWriter(args.checkpoint_dir, n_buckets=args.n_buckets)
-        _, metrics = run_with_metrics(features, writer.run)
+        _, metrics = run_with_metrics(
+            tr, lambda src: writer.run_pipeline(src, pipeline)
+        )
     else:
         _, metrics = run_with_metrics(
-            features, lambda d: write_features(d, args.output, overwrite=args.overwrite)
+            pipeline(tr),
+            lambda d: write_features(d, args.output, overwrite=args.overwrite),
         )
     if args.metrics_out:
         metrics.write(args.metrics_out)

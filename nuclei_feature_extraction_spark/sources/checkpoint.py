@@ -87,15 +87,10 @@ class CheckpointedWriter:
                 raise RuntimeError(f"injected failure before bucket group {group}")
             t0 = time.perf_counter()
             part = bdf.filter(F.col("bucket").isin(group))
-            rows_by_bucket = {
-                r["bucket"]: r["n"]
-                for r in part.groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
             part.write.mode("append").partitionBy("bucket").parquet(
                 os.path.join(self.out_dir, "data")
             )
+            rows_by_bucket = self._written_counts(part.sparkSession, group)
             dt = round(time.perf_counter() - t0, 3)
             for b in group:
                 manifest["completed"][str(b)] = {
@@ -106,6 +101,58 @@ class CheckpointedWriter:
             self._save_manifest(manifest)
             jobs += 1
         return manifest
+
+    def run_pipeline(
+        self,
+        source_df: DataFrame,
+        pipeline_fn,
+        fail_after_jobs: int | None = None,
+    ) -> dict:
+        """Resumable FEATURE BACKFILL: the bucket filter is applied to the
+        SOURCE (cheap, pushed before the expensive pipeline), and
+        ``pipeline_fn(source_subset)`` runs once per bucket group — so a
+        resume recomputes only pending buckets' features, never the whole
+        table (``run(features_df)`` would re-derive the full pipeline per
+        group just to filter it afterwards)."""
+        manifest = self.load_manifest()
+        done = {int(b) for b in manifest["completed"]}
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        bsrc = self._with_bucket(source_df)
+        jobs = 0
+        for i in range(0, len(pending), self.buckets_per_job):
+            group = pending[i : i + self.buckets_per_job]
+            if fail_after_jobs is not None and jobs >= fail_after_jobs:
+                raise RuntimeError(f"injected failure before bucket group {group}")
+            t0 = time.perf_counter()
+            part_src = bsrc.filter(F.col("bucket").isin(group)).drop("bucket")
+            feats = self._with_bucket(pipeline_fn(part_src))
+            feats.write.mode("append").partitionBy("bucket").parquet(
+                os.path.join(self.out_dir, "data")
+            )
+            rows_by_bucket = self._written_counts(feats.sparkSession, group)
+            dt = round(time.perf_counter() - t0, 3)
+            for b in group:
+                manifest["completed"][str(b)] = {
+                    "rows": int(rows_by_bucket.get(b, 0)),
+                    "wall_seconds": dt,
+                }
+            manifest["version"] += 1
+            self._save_manifest(manifest)
+            jobs += 1
+        return manifest
+
+    def _written_counts(self, spark, group) -> dict[int, int]:
+        """Per-bucket row counts from the freshly written parquet footers
+        (metadata-only scan) — avoids running the pipeline twice per
+        group just to count."""
+        out = {}
+        for b in group:
+            path = os.path.join(self.out_dir, "data", f"bucket={b}")
+            if os.path.exists(path):
+                out[b] = spark.read.parquet(path).count()
+            else:
+                out[b] = 0
+        return out
 
     def read_back(self, spark) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, "data"))

@@ -122,3 +122,38 @@ def test_lineage_asof_drops(spark, tiny_df, side_profile_df):
     # fixture: ~30% of convs missing + updates can postdate early turns
     direct = joined.filter("plan IS NULL").count()
     assert total_unmatched == direct > 0
+
+
+def test_checkpoint_run_pipeline_resume(spark, tiny_df, tmp_path):
+    """Bucket filter is pushed to the SOURCE; resume after crash yields
+    the same feature table as a single uninterrupted run."""
+    from pyspark.sql import functions as F
+
+    from nuclei_feature_extraction_spark.operators import sessionize
+
+    def pipe(src):
+        return sessionize(src).withColumn("tlen", F.length("text").cast("double"))
+
+    out = str(tmp_path / "ckpt3")
+    w = CheckpointedWriter(out, n_buckets=6, buckets_per_job=2)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        w.run_pipeline(tiny_df, pipe, fail_after_jobs=1)
+    assert len(w.load_manifest()["completed"]) == 2
+    w.run_pipeline(tiny_df, pipe)
+    got = (
+        w.read_back(spark)
+        .select("conv_id", "turn_idx", "session_id", "tlen")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pipe(tiny_df)
+        .select("conv_id", "turn_idx", "session_id", "tlen")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["session_id"].to_numpy() == want["session_id"].to_numpy()).all()
+    assert (got["tlen"].to_numpy() == want["tlen"].to_numpy()).all()
