@@ -40,7 +40,6 @@ def exact_dedup(
 
 
 def _word_shingles(text_col: str, n: int) -> Column:
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
     return F.expr(
         f"transform(sequence(0, greatest(size(split(lower({text_col}), '\\\\s+')) - {n}, 0)), "
         f"i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n})))"

@@ -49,7 +49,6 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def stopword_ratio(text_col: str = "text") -> Column:
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_sw = F.size(F.array_intersect(toks, sw))  # distinct-stopword presence
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.round(hits / F.greatest(F.size(toks), F.lit(1)).cast("double"), 6)
 
