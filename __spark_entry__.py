@@ -252,6 +252,47 @@ def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic window functions (§2.6 breadth)."""
+    ev = _events(spark, sf_dir)
+    w = _user_window()
+    return ev.select(
+        "event_id",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT set operators."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    errors = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    click_only = clicks.subtract(errors).withColumn("tag", F.lit("click_only"))
+    both = clicks.intersect(errors).withColumn("tag", F.lit("both"))
+    return click_only.unionByName(both)
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/date/JSON functions (§2.6): JSON path extraction,
+    date parts, formatting, regex, concat."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.to_date("ts").alias("day"),
+        F.weekday("ts").cast("int").alias("wd"),
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+        F.upper(F.substring("event_type", 1, 3)).alias("t3"),
+        F.concat_ws("#", "event_type", F.col("user_id").cast("string")).alias("tkey"),
+        F.regexp_extract("props", r"(\d+)", 1).alias("k_re"),
+    )
+
+
 # ------------------------------------------------------------- documents
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,6 +481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_counts": q_transition_counts,
         "event_type_agg": q_event_type_agg,
         "event_cube": q_event_cube,
+        "rank_funcs": q_rank_funcs,
+        "set_ops": q_set_ops,
+        "scalar_funcs": q_scalar_funcs,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "quality": q_quality,
@@ -588,6 +632,37 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, CAST(floor(CAST(extract(hour FROM ts) AS DOUBLE) / 6) AS INT) AS hour_bucket
                   FROM events)
             GROUP BY CUBE (event_type, hour_bucket)
+        """,
+        "rank_funcs": """
+            SELECT event_id,
+                   CAST(row_number() OVER w AS INTEGER) AS rn,
+                   CAST(dense_rank() OVER w AS INTEGER) AS drank,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                   round(percent_rank() OVER w, 6) AS prank,
+                   round(cume_dist() OVER w, 6) AS cdist
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "set_ops": """
+            SELECT user_id, 'click_only' AS tag FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              EXCEPT
+              SELECT user_id FROM events WHERE event_type = 'error')
+            UNION ALL
+            SELECT user_id, 'both' AS tag FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'error')
+        """,
+        "scalar_funcs": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS k_str,
+                   CAST(ts AS DATE) AS day,
+                   CAST(isodow(ts) - 1 AS INTEGER) AS wd,
+                   strftime(ts, '%Y-%m') AS ym,
+                   upper(substring(event_type, 1, 3)) AS t3,
+                   concat_ws('#', event_type, CAST(user_id AS VARCHAR)) AS tkey,
+                   regexp_extract(props, '(\\d+)', 1) AS k_re
+            FROM events
         """,
         "dedup_exact": """
             SELECT doc_id,
