@@ -372,9 +372,15 @@ def q_prefix_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cooc_correlation_d1_k4": "cooc_correlation",
         "cooc_sum_of_squares_d1_k4": "cooc_sum_of_squares",
     }
+    # `+ 0.0` after rounding normalizes IEEE -0.0 → +0.0 (DuckDB rounds
+    # tiny negatives to -0.0, Spark to 0.0; equal under == but not as
+    # hashed bytes — the round-1 red row). Same normalization in the SQL.
     return keyed.select(
         "event_id",
-        *[F.round(_nan_to_null(src), 6).alias(dst) for src, dst in sel.items()],
+        *[
+            (F.round(_nan_to_null(src), 6) + F.lit(0.0)).alias(dst)
+            for src, dst in sel.items()
+        ],
     )
 
 
@@ -717,13 +723,13 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             )
             SELECT event_id,
-              round(CASE WHEN s > 0 THEN contrast_c/s END, 6) AS cooc_contrast,
-              round(CASE WHEN s > 0 THEN dissim_c/s END, 6) AS cooc_dissimilarity,
-              round(CASE WHEN s > 0 THEN 2.0*mu_c/s END, 6) AS cooc_sum_average,
+              round(CASE WHEN s > 0 THEN contrast_c/s END, 6) + 0.0 AS cooc_contrast,
+              round(CASE WHEN s > 0 THEN dissim_c/s END, 6) + 0.0 AS cooc_dissimilarity,
+              round(CASE WHEN s > 0 THEN 2.0*mu_c/s END, 6) + 0.0 AS cooc_sum_average,
               round(CASE WHEN s > 0 AND (m2_c/s - (mu_c/s)*(mu_c/s)) > 1e-9
                     THEN (eij_c/s - (mu_c/s)*(mu_c/s))
-                         / (m2_c/s - (mu_c/s)*(mu_c/s)) END, 6) AS cooc_correlation,
-              round(CASE WHEN s > 0 THEN m2_c/s - (mu_c/s)*(mu_c/s) END, 6) AS cooc_sum_of_squares
+                         / (m2_c/s - (mu_c/s)*(mu_c/s)) END, 6) + 0.0 AS cooc_correlation,
+              round(CASE WHEN s > 0 THEN m2_c/s - (mu_c/s)*(mu_c/s) END, 6) + 0.0 AS cooc_sum_of_squares
             FROM c
         """,
         "prefix_runlen": """

@@ -50,8 +50,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
                     av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9,
                     equal_nan=True,
                 )
-            else:
-                ok = (av.astype(str) == bv.astype(str)).all()
+                # driver parity: its value-hash is over string reprs, so
+                # -0.0 vs 0.0 (or any repr diff) fails there even when
+                # allclose passes — enforce the same here
+                if ok and not (av.astype(float).astype(str)
+                               == bv.astype(float).astype(str)).all():
+                    problems.append(
+                        f"col {c}: allclose but repr differs (driver "
+                        "hash would FAIL — check -0.0 / rounding mode)"
+                    )
+                    continue
             if not ok:
                 bad = np.asarray(
                     (av.astype(str) != bv.astype(str))
