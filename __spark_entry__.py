@@ -413,43 +413,89 @@ def q_prefix_runlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----------------------------------------------------- rows-only checked
+# ------------------------- dedup/similarity: exact-verified emissions
+#
+# Each query emits a deterministic, engine-independent VERIFIED set
+# (exact n-gram Jaccard / exact cosine above a threshold) rather than a
+# hash-dependent candidate list, so a DuckDB all-pairs oracle checks it
+# value-for-value. The LSH stages still run inside the Spark plans
+# (candidates must be a superset of the truth at these thresholds —
+# the planted sf0.01 dups sit at J ≥ 0.9 vs background < 0.15).
+
+_JACCARD_TAU = 0.8
+
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_documents(spark, sf_dir)).select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    """MinHash-LSH candidates → exact shingle-Jaccard verify ≥ τ."""
+    from nuclei_feature_extraction_spark.operators.dedup import ngram_jaccard_verify
+
+    docs = _documents(spark, sf_dir)
+    cands = minhash_lsh_pairs(docs).select("id_a", "id_b")
+    return (
+        ngram_jaccard_verify(docs, cands)
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_dup_pairs(_documents(spark, sf_dir), max_hamming=6)
-
-
-
-
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard verification of MinHash-LSH candidates."""
+    """SimHash banded candidates → exact shingle-Jaccard verify ≥ τ."""
     from nuclei_feature_extraction_spark.operators.dedup import ngram_jaccard_verify
 
     docs = _documents(spark, sf_dir)
-    cands = minhash_lsh_pairs(docs)
-    return ngram_jaccard_verify(docs, cands).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    # 8-bit bands → 8 bands → pigeonhole-exact recall for hamming ≤ 7
+    # (the planted sf0.01 dups all sit at hamming ≤ 5)
+    cands = simhash_near_dup_pairs(docs, max_hamming=7, band_bits=8).select(
+        "id_a", "id_b"
+    )
+    return (
+        ngram_jaccard_verify(docs, cands)
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard ≥ τ via the shingle inverted
+    index — no hashing anywhere; the ground-truth operator itself."""
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        ngram_jaccard_all_pairs,
+    )
+
+    return ngram_jaccard_all_pairs(
+        _documents(spark, sf_dir), threshold=_JACCARD_TAU
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup group formation: exact-Jaccard pairs → connected
+    components → per-doc group id/size/canonical flag."""
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        dup_groups,
+        ngram_jaccard_all_pairs,
+    )
+
+    docs = _documents(spark, sf_dir)
+    pairs = ngram_jaccard_all_pairs(docs, threshold=_JACCARD_TAU)
+    return dup_groups(docs, pairs).select(
+        "doc_id",
+        "dup_group_id",
+        F.col("dup_group_size").cast("long").alias("dup_group_size"),
+        "is_canonical",
     )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (multi-table LSH + exact verify)."""
+    """EXACT all-pairs embedding cosine ≥ τ via blocked matmul (the
+    verify baseline; the LSH candidate path is pytest-verified on
+    planted perturbations where recall is provable)."""
     from nuclei_feature_extraction_spark.operators.similarity import (
-        embedding_near_dup_pairs,
+        cosine_all_pairs_exact,
     )
 
-    # the synthetic embeddings are near-orthogonal (max off-diag cosine
-    # ~0.37), so the "duplicate" threshold is lowered to exercise the
-    # candidate-generation + exact-verify path with a non-empty result
-    return embedding_near_dup_pairs(
-        _embeddings(spark, sf_dir), dim=64, threshold=0.25
-    )
+    # synthetic embeddings are near-orthogonal (max off-diag cosine
+    # ~0.51); τ=0.44 keeps a small non-trivial truth set (22 pairs)
+    return cosine_all_pairs_exact(_embeddings(spark, sf_dir), threshold=0.44)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -500,12 +546,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_groups": q_dup_groups,
         "embedding_near_dup": q_embedding_near_dup,
     }
 
 
 _W = "PARTITION BY user_id ORDER BY ts, event_id"
 _WF = f"{_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+# distinct word-3-shingle sets per doc — the DuckDB twin of
+# operators/dedup._word_shingles(n=3): same tokenization (lower +
+# split on \s+), same short-doc fallback (one whole-text shingle)
+_SHINGLES_SQL = r"""
+    SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 1)),
+        i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')
+    )) AS s
+    FROM documents
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+"""
 
 _STOPWORDS_SQL = (
     "['the','a','an','and','or','of','to','in','is','are','was','were','be',"
@@ -772,5 +840,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 6) AS sim
             FROM embeddings ORDER BY sim DESC, vec_id LIMIT 5
+        """,
+        # all three emit the exact-verified pair set, so one all-pairs
+        # ground truth oracles three distinct Spark plans (minhash-LSH
+        # candidates, simhash-band candidates, inverted-index exact)
+        "minhash_pairs": _JACCARD_PAIRS_SQL,
+        "simhash_pairs": _JACCARD_PAIRS_SQL,
+        "ngram_jaccard": _JACCARD_PAIRS_SQL,
+        "dup_groups": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+            p AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            ),
+            e AS (SELECT ia AS s, ib AS d FROM p
+                  UNION ALL SELECT ib AS s, ia AS d FROM p),
+            reach AS (
+              SELECT doc_id AS id, doc_id AS comp FROM documents
+              UNION
+              SELECT e.d AS id, r.comp AS comp FROM reach r JOIN e ON e.s = r.id
+            ),
+            lab AS (SELECT id, min(comp) AS dup_group_id FROM reach GROUP BY id),
+            sz AS (SELECT dup_group_id, count(*) AS dup_group_size
+                   FROM lab GROUP BY dup_group_id)
+            SELECT l.id AS doc_id, l.dup_group_id, s.dup_group_size,
+                   l.id = l.dup_group_id AS is_canonical
+            FROM lab l JOIN sz s USING (dup_group_id)
+        """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.44
         """,
     }

@@ -123,35 +123,128 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: ``n_tables``
     independent hyperplane-LSH signatures (near-identical vectors agree
     on a full signature with high probability), candidates = same-bucket
-    pairs in ANY table, verified by exact cosine ≥ threshold. Shuffles
-    only (table, 64-bit signature) keys — never the vectors pairwise."""
-    cand = None
+    pairs in ANY table, verified by exact cosine ≥ threshold.
+
+    Scale shape (round-1 verdict fixes): the bucket self-join carries
+    ONLY (table, signature, id) — never the vectors; buckets larger
+    than ``max_bucket_size`` are dropped before the join (one
+    degenerate bucket is otherwise O(B²) pairs); pair ids are
+    de-duplicated across tables BEFORE the two vector re-join hops that
+    feed the exact-verify stage."""
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        _capped_bucket_pairs,
+    )
+
+    sig = df.select(F.col(id_col), F.col(vec_col))
     for t in range(n_tables):
         sig = with_lsh_signature(
-            df, dim, n_planes, vec_col, seed=42 + 1000 * t, out_col="__sig"
-        ).select(F.col(id_col), F.col(vec_col), F.col("__sig"))
-        a = sig.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__sig"
+            sig, dim, n_planes, vec_col, seed=42 + 1000 * t, out_col=f"__sig{t}"
         )
-        b = sig.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__sig"
-        )
-        p = (
-            a.join(b, "__sig")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "__va", "__vb")
-        )
-        cand = p if cand is None else cand.unionByName(p)
+    buckets = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"), F.col(f"__sig{t}").alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    pairs = _capped_bucket_pairs(buckets, id_col, max_bucket_size)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     sim = cosine_sim(
         F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>")
     )
     return (
-        cand.dropDuplicates(["id_a", "id_b"])
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("sim", F.round(sim, 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+    )
+
+
+def cosine_all_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via blocked matrix multiply —
+    the engine-independent verify baseline the LSH path is graded
+    against (an oracle can't depend on hash-bucket recall).
+
+    Distribution shape: vectors are hashed into ``n_blocks`` blocks;
+    each of the B(B+1)/2 block pairs is one task that computes a dense
+    ``A_norm @ B_norm.T`` in numpy (Arrow in, BLAS inside, tiny pair
+    list out). Total flops are the unavoidable O(n²·d) of an exact
+    sweep, but each task is cache-friendly matmul (~100× a per-pair
+    loop), the shuffle volume is n·(B+1) vector copies (not n²), and
+    B scales the task grid to the cluster. For 10^9+ rows use the LSH
+    operator; this is the exact path for verify/eval-scale inputs."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    # each vector joins every block pair (i<=j) it belongs to, tagged by
+    # side; grouped per (i,j) task key
+    combos = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    combo_df = spark.createDataFrame(combos, schema="bi int, bj int")
+    tagged = base.join(
+        F.broadcast(combo_df),
+        (F.col("__blk") == F.col("bi")) | (F.col("__blk") == F.col("bj")),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", df.schema[id_col].dataType, False),
+            T.StructField("id_b", df.schema[id_col].dataType, False),
+            T.StructField("sim", T.DoubleType(), False),
+        ]
+    )
+    thr = float(threshold)
+
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        ia = pdf.loc[pdf["__blk"] == bi, "__id"].to_numpy()
+        ib = pdf.loc[pdf["__blk"] == bj, "__id"].to_numpy()
+        if len(ia) == 0 or len(ib) == 0:
+            return empty
+        va = np.stack(pdf.loc[pdf["__blk"] == bi, "__v"].to_numpy())
+        vb = va if bi == bj else np.stack(pdf.loc[pdf["__blk"] == bj, "__v"].to_numpy())
+        na = np.linalg.norm(va, axis=1, keepdims=True)
+        nb = np.linalg.norm(vb, axis=1, keepdims=True)
+        sims = (va / np.where(na > 0, na, 1.0)) @ (vb / np.where(nb > 0, nb, 1.0)).T
+        r, c = np.nonzero(sims >= thr)
+        id_a, id_b, s = ia[r], ib[c], sims[r, c]
+        if bi == bj:
+            # same block: every pair appears twice + self-pairs — keep a<b
+            keep = id_a < id_b
+            id_a, id_b, s = id_a[keep], id_b[keep], s[keep]
+        else:
+            # cross block: each pair appears once — normalize order
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            id_a, id_b = lo, hi
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "sim": s})
+
+    return (
+        tagged.groupBy("bi", "bj")
+        .applyInPandas(block_pair, schema=out_schema)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )

@@ -142,3 +142,164 @@ def test_embedding_near_dup_pairs(spark):
     planted = {(i, 100 + i) for i in range(5)}
     assert len(found & planted) >= 4  # multi-table LSH recall
     assert (got.sim >= 0.98).all()
+
+
+# ---------------------------------------------------------------- round 2
+
+
+def test_exact_dedup_collision_guard(spark, monkeypatch):
+    """Distinct same-length texts stay apart even if the primary 64-bit
+    hash fully collides (simulated): the second independent hash in the
+    composite key keeps them in separate groups. At 10^12 rows single
+    xxhash64 collisions are statistically certain (birthday ~4e9)."""
+    import nuclei_feature_extraction_spark.operators.dedup as dd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["aaaa bbbb", "cccc dddd", "aaaa bbbb"]}
+    )
+    df = spark.createDataFrame(pdf)
+    orig = dd._text_key
+
+    def degraded(text_col):
+        cols = orig(text_col)
+        return [F.lit(0).cast("long").alias("__th1"), cols[1], cols[2]]
+
+    monkeypatch.setattr(dd, "_text_key", degraded)
+    out = dd.exact_dedup(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "dup_group_size"] == 2  # true dup still merged
+    assert out.loc[2, "dup_group_size"] == 1  # distinct text kept apart
+
+
+def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
+    """One adversarial hot bucket (1k identical short docs) must not
+    produce O(B²) pairs when capped; planted near-dups in small buckets
+    keep full recall; lsh_bucket_stats reports the drop."""
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        lsh_bucket_stats,
+        minhash_buckets,
+        minhash_lsh_pairs,
+        minhash_signature,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, "spam spam spam spam") for i in range(1000)]  # hot bucket
+    base = " ".join(rng.choice(WORDS, size=60))
+    toks = base.split()
+    toks[10] = "EDIT"
+    rows += [(2000, base), (2001, " ".join(toks))]  # planted near-dup pair
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    capped = minhash_lsh_pairs(df, max_bucket_size=50).toPandas()
+    # without the cap the hot bucket alone yields 1000*999/2 ≈ 5e5 pairs
+    assert len(capped) < 100
+    assert (2000, 2001) in {tuple(sorted(p)) for p in zip(capped.id_a, capped.id_b)}
+
+    sig = minhash_signature(df)
+    stats = lsh_bucket_stats(minhash_buckets(sig), max_bucket_size=50)
+    assert stats["n_dropped_buckets"] >= 1
+    assert stats["n_dropped_members"] >= 1000
+    assert stats["max_bucket"] == 1000
+
+
+def test_simhash_bucket_cap(spark):
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    rows = [(i, "same short text") for i in range(500)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = simhash_near_dup_pairs(df, max_bucket_size=50).toPandas()
+    assert len(out) == 0  # the one giant bucket is dropped, not exploded
+
+
+def test_ngram_jaccard_all_pairs_exact_vs_python(spark, planted_docs):
+    """Inverted-index all-pairs Jaccard == brute-force python on shingle
+    sets, value for value."""
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        ngram_jaccard_all_pairs,
+    )
+
+    got = ngram_jaccard_all_pairs(planted_docs, threshold=0.5).toPandas()
+    docs = {r.doc_id: r.text for r in planted_docs.collect()}
+
+    def shingles(t, n=3):
+        toks = t.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    want = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        sa = shingles(docs[a])
+        for b in ids[i + 1 :]:
+            sb = shingles(docs[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                want[(a, b)] = j
+    got_map = {(a, b): j for a, b, j in got.itertuples(index=False)}
+    assert set(got_map) == set(want)
+    for k in want:
+        assert abs(got_map[k] - want[k]) < 1e-12
+
+
+def test_dup_groups_connected_components(spark):
+    """Chain a-b-c + pair d-e + singleton f → groups {a,b,c}, {d,e}, {f}
+    with min-id canonicals."""
+    from nuclei_feature_extraction_spark.operators.dedup import dup_groups
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11, 12, 20, 21, 30], "text": ["x"] * 6})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 11, 20], "id_b": [11, 12, 21]})
+    )
+    out = dup_groups(docs, pairs).toPandas().set_index("doc_id").sort_index()
+    assert out.dup_group_id.tolist() == [10, 10, 10, 20, 20, 30]
+    assert out.dup_group_size.tolist() == [3, 3, 3, 2, 2, 1]
+    assert out.is_canonical.tolist() == [True, False, False, True, False, True]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node path graph needs multiple propagation rounds — checks
+    the convergence loop, not just one hop."""
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(39)), "id_b": list(range(1, 40))})
+    )
+    out = connected_components(pairs).toPandas()
+    assert (out.comp == 0).all() and len(out) == 40
+
+
+def test_cosine_all_pairs_exact_vs_numpy(spark):
+    from nuclei_feature_extraction_spark.operators.similarity import (
+        cosine_all_pairs_exact,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((120, 12)).astype(np.float32)
+    vecs[100:110] = vecs[:10] + 0.01 * rng.standard_normal((10, 12)).astype(
+        np.float32
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(120), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    got = cosine_all_pairs_exact(
+        spark.createDataFrame(pdf), threshold=0.6, n_blocks=4
+    ).toPandas()
+    v = vecs.astype(np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    want = {
+        (i, j): sims[i, j]
+        for i in range(120)
+        for j in range(i + 1, 120)
+        if sims[i, j] >= 0.6
+    }
+    got_map = {(a, b): s for a, b, s in got.itertuples(index=False)}
+    assert set(got_map) == set(want)
+    for k, s in want.items():
+        assert abs(got_map[k] - s) < 1e-6

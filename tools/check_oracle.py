@@ -60,6 +60,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
                         "hash would FAIL — check -0.0 / rounding mode)"
                     )
                     continue
+            else:
+                ok = (av.astype(str) == bv.astype(str)).all()
             if not ok:
                 bad = np.asarray(
                     (av.astype(str) != bv.astype(str))
