@@ -184,6 +184,56 @@ def q_circular_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gabor_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 Gabor quadrature bank (scale × phase grid) on the event value
+    signal — modulated trailing mean/std, pure Catalyst."""
+    from nuclei_feature_extraction_spark.operators.windows import (
+        gabor_rolling_bank,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = gabor_rolling_bank(
+        ev,
+        "value",
+        windows=(8, 32),
+        n_phases=2,
+        stats=("mean", "std"),
+        conv_col="user_id",
+        order_cols=EVENT_ORDER,
+    )
+    sel = [
+        f"value_gabor_w{w}_p{p}_{s}"
+        for w in (8, 32)
+        for p in range(2)
+        for s in ("mean", "std")
+    ]
+    return out.select(
+        "event_id",
+        *[(F.round(_nan_to_null(c), 6) + F.lit(0.0)).alias(c) for c in sel],
+    )
+
+
+def q_circular_recentered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 recenter-then-std (circular mean, wrapped deviation, population
+    std) per user."""
+    from nuclei_feature_extraction_spark.operators.windows import (
+        circular_recentered_std,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = circular_recentered_std(ev, group_col="user_id")
+    return (
+        out.select(
+            "user_id",
+            (F.round("tod_circmean_deg", 6) + F.lit(0.0)).alias("circmean_deg"),
+            (F.round("tod_recentered_std_deg", 6) + F.lit(0.0)).alias(
+                "recentered_std_deg"
+            ),
+        )
+        .distinct()
+    )
+
+
 def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
@@ -528,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_global": q_asof_global,
         "masked_user_stats": q_masked_user_stats,
         "circular_hour": q_circular_hour,
+        "gabor_bank": q_gabor_bank,
+        "circular_recentered": q_circular_recentered,
         "topk_per_user": q_topk_per_user,
         "run_length_stats": q_run_length_stats,
         "transition_counts": q_transition_counts,
@@ -659,6 +711,49 @@ def oracle_sql() -> dict[str, str]:
                          fmod(epoch(ts), 86400.0) / 86400.0 * 2.0 * 3.141592653589793 AS theta
                   FROM events)
             GROUP BY user_id
+        """,
+        "gabor_bank": f"""
+            WITH pos AS (
+              SELECT event_id, user_id, ts, value,
+                     row_number() OVER ({_W}) - 1 AS rn
+              FROM events
+            ), m AS (
+              SELECT event_id, user_id, ts,
+                     {', '.join(
+                         f"cos(rn * 2 * pi() / {w} + {p} * pi() / 2) * value AS g{w}_{p}"
+                         for w in (8, 32) for p in range(2)
+                     )}
+              FROM pos
+            )
+            SELECT event_id,
+                   {', '.join(
+                       f"round(avg(g{w}_{p}) OVER w{w}, 6) + 0.0 AS value_gabor_w{w}_p{p}_mean, "
+                       f"round(stddev_pop(g{w}_{p}) OVER w{w}, 6) + 0.0 AS value_gabor_w{w}_p{p}_std"
+                       for w in (8, 32) for p in range(2)
+                   )}
+            FROM m
+            WINDOW w8 AS ({_W} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+                   w32 AS ({_W} ROWS BETWEEN 31 PRECEDING AND CURRENT ROW)
+        """,
+        "circular_recentered": """
+            WITH t AS (
+              SELECT user_id,
+                     fmod(epoch(ts), 86400.0) / 86400.0 * 2 * pi() AS theta
+              FROM events
+            ), m AS (
+              SELECT user_id, atan2(avg(sin(theta)), avg(cos(theta))) AS mu
+              FROM t GROUP BY user_id
+            ), d AS (
+              SELECT t.user_id, mu,
+                     CASE WHEN fmod(theta - mu + pi(), 2 * pi()) < 0
+                          THEN fmod(theta - mu + pi(), 2 * pi()) + 2 * pi()
+                          ELSE fmod(theta - mu + pi(), 2 * pi()) END - pi() AS dev
+              FROM t JOIN m USING (user_id)
+            )
+            SELECT user_id,
+                   round(fmod(degrees(mu) + 360.0, 360.0), 6) + 0.0 AS circmean_deg,
+                   round(degrees(stddev_pop(dev)), 6) + 0.0 AS recentered_std_deg
+            FROM d GROUP BY user_id, mu
         """,
         "topk_per_user": """
             SELECT user_id, event_id, CAST(rank AS INTEGER) AS rank

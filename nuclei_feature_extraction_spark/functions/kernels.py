@@ -212,7 +212,8 @@ def shape_prefix(
     conv: np.ndarray, first: np.ndarray, u: np.ndarray, y: np.ndarray
 ) -> dict[str, np.ndarray]:
     """Vectorized prefix PCA of the (u, y) scatter per conversation.
-    Closed-form 2×2 eigen-decomposition from five segmented cumsums."""
+    Closed-form 2×2 eigen-decomposition from five segmented cumsums;
+    elliptic deviation (A8) from nine more (raw moments to order 4)."""
     np1 = _seg_pos(first) + 1.0
     su = _seg_cumsum(u, first)
     sy = _seg_cumsum(y, first)
@@ -257,12 +258,53 @@ def shape_prefix(
         compacity = np.where(
             two_plus & (area > 0), path**2 / (4 * np.pi * area), np.nan
         )
+
+    # A8 elliptic deviation (shape.rs:209-217 analog): RMS of the
+    # squared Mahalanobis radius around its exact fit-mean of 2 —
+    # sqrt(E[r⁴] − 4) — via central moments to order 4, each a raw-power
+    # segmented cumsum (u is per-conversation ELAPSED time, so raw and
+    # central moments share scale and the conversion stays stable).
+    raw = {(1, 0): mu, (0, 1): my, (2, 0): suu / np1, (0, 2): syy / np1,
+           (1, 1): suy / np1}
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for p, q in ((3, 0), (2, 1), (1, 2), (0, 3),
+                     (4, 0), (3, 1), (2, 2), (1, 3), (0, 4)):
+            raw[(p, q)] = _seg_cumsum(u**p * y**q, first) / np1
+        raw[(0, 0)] = np.ones_like(np1)
+
+        def central(p: int, q: int) -> np.ndarray:
+            from math import comb
+
+            m = np.zeros_like(np1)
+            for i in range(p + 1):
+                for j in range(q + 1):
+                    m = m + (
+                        comb(p, i) * comb(q, j)
+                        * raw[(i, j)] * (-mu) ** (p - i) * (-my) ** (q - j)
+                    )
+            return m
+
+        m40, m31, m22 = central(4, 0), central(3, 1), central(2, 2)
+        m13, m04 = central(1, 3), central(0, 4)
+        det = a * c - b**2
+        inv_ok = (np1 >= 3) & (det > 1e-12 * a * c)
+        safe_det = np.where(inv_ok, det, 1.0)
+        a11, a12, a22 = c / safe_det, -b / safe_det, a / safe_det
+        er4 = (
+            a11**2 * m40 + 4 * a11 * a12 * m31
+            + (2 * a11 * a22 + 4 * a12**2) * m22
+            + 4 * a12 * a22 * m13 + a22**2 * m04
+        )
+        ell_dev = np.where(
+            inv_ok, np.sqrt(np.clip(er4 - 4.0, 0.0, None)), np.nan
+        )
     return {
         "pca_major": major, "pca_minor": minor,
         "pca_angle": angle, "pca_eccentricity": ecc,
         "path_len": np.where(two_plus, path, np.nan),
         "span_area": np.where(two_plus, area, np.nan),
         "compacity": compacity,
+        "elliptic_deviation": ell_dev,
     }
 
 

@@ -37,6 +37,11 @@ SHAPE_STATS = [
     # A8-A10 analogs: trajectory arc length (perimeter, shape.rs:89-92),
     # bounding span area (area), compacity = perimeter²/(4π·area)
     "path_len", "span_area", "compacity",
+    # A8 proper (shape.rs:209-217 |mask − ellipse| analog): RMS deviation
+    # of the prefix scatter from its fitted PCA ellipse — for each point
+    # the squared Mahalanobis radius r² (whose fit-mean is exactly 2 in
+    # 2-D), deviation = sqrt(E[(r² − 2)²])
+    "elliptic_deviation",
 ]
 
 
@@ -164,4 +169,14 @@ def shape_prefix_naive(u: np.ndarray, y: np.ndarray) -> dict[str, np.ndarray]:
             v = evecs[:, 1]
             out["pca_angle"][t] = np.arctan2(v[1], v[0]) % np.pi
         out["pca_eccentricity"][t] = np.sqrt((l1 - l2) / l1)
+        # A8: RMS deviation of the scatter from the fitted ellipse —
+        # needs an invertible covariance (≥3 points, non-collinear)
+        a, b, c2 = cov[0, 0], cov[0, 1], cov[1, 1]
+        det = a * c2 - b * b
+        if t + 1 >= 3 and det > 1e-12 * a * c2:
+            z = pts - pts.mean(axis=1, keepdims=True)
+            r2 = (c2 * z[0] ** 2 - 2 * b * z[0] * z[1] + a * z[1] ** 2) / det
+            out["elliptic_deviation"][t] = np.sqrt(
+                max(((r2 - 2.0) ** 2).mean(), 0.0)
+            )
     return out

@@ -158,12 +158,9 @@ def multi_scale_rolling_bank(
     conv_col: str = "conv_id",
     order_cols: Sequence[str] = ("ts", "turn_idx"),
 ) -> DataFrame:
-    """Gabor-bank analog (texture.rs:319-344): the reference convolves a
-    grayscale patch with 8 angles × 6 frequencies and reports masked
-    mean+variance per filter; here the 'filter bank' is a bank of
-    trailing window sizes over a numeric per-turn signal, one
-    mean/std pair per scale. Column names follow the reference's
-    parameter-grid convention (texture.rs:346-361)."""
+    """Scale-only rolling bank: one mean/std pair per trailing window
+    size (the DC component of the Gabor analog; see
+    ``gabor_rolling_bank`` for the full scale × phase grid)."""
     w0 = conv_window(conv_col, order_cols)
     out: list[Column] = [F.col("*")]
     for win in windows:
@@ -171,3 +168,91 @@ def multi_scale_rolling_bank(
         for s in stats:
             out.append(_AGGS[s](col).over(w).alias(f"{col}_bank_w{win}_{s}"))
     return df.select(*out)
+
+
+TWO_PI = 2.0 * 3.141592653589793
+
+
+def gabor_rolling_bank(
+    df: DataFrame,
+    col: str,
+    windows: Sequence[int] = (4, 8, 16, 32, 64, 128),
+    n_phases: int = 4,
+    stats: Sequence[str] = ("mean", "std"),
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    pos_col: str | None = None,
+) -> DataFrame:
+    """Gabor-bank analog with the full parameter grid
+    (texture.rs:319-361): the reference convolves a patch with
+    8 orientations × 6 frequencies and reports masked mean+variance per
+    filter. The 1-D transcript analog modulates the signal with a
+    cosine carrier — one cycle per window (wavelength = scale) at
+    ``n_phases`` phase offsets φ_p = p·π/n_phases — and takes trailing
+    mean/std per (scale, phase):
+
+        response_{w,p}(t) = stat_{i ∈ last w rows} cos(2π·pos_i/w + φ_p)·x_i
+
+    Phases cover [0, π): in 1-D a π shift is a sign flip (mean negates,
+    std unchanged), so the reference's 8 orientations collapse to 4
+    non-redundant phases; pass n_phases=8 to mirror the reference grid
+    literally. Columns: ``{col}_gabor_w{w}_p{p}_{stat}``.
+
+    Plan shape: ONE row_number pass + all modulated aggregates share
+    the same window sort — a single exchange, no Python.
+    """
+    w0 = conv_window(conv_col, order_cols)
+    if pos_col is None:
+        pos_col = "__gabor_pos"
+        df = df.withColumn(pos_col, F.row_number().over(w0) - F.lit(1))
+        drop_pos = True
+    else:
+        drop_pos = False
+    out: list[Column] = [F.col("*")]
+    for win in windows:
+        w = w0.rowsBetween(-(win - 1), Window.currentRow)
+        omega = TWO_PI / win
+        for p in range(n_phases):
+            phi = p * 3.141592653589793 / n_phases
+            carrier = F.cos(F.col(pos_col) * F.lit(omega) + F.lit(phi))
+            m = carrier * F.col(col)
+            for s in stats:
+                out.append(
+                    _AGGS[s](m).over(w).alias(f"{col}_gabor_w{win}_p{p}_{s}")
+                )
+    res = df.select(*out)
+    return res.drop(pos_col) if drop_pos else res
+
+
+def circular_recentered_std(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    ts_col: str = "ts",
+    prefix: str = "tod",
+) -> DataFrame:
+    """Recenter-then-std for a circular signal (A3, color.rs:50-53: the
+    reference recenters hue by its circular mean, then takes the linear
+    std of the recentered values). Per group: circular mean μ of the
+    time-of-day angle, then the population std of the wrapped deviation
+    ((θ − μ + π) mod 2π) − π.
+
+    Plan: two unordered window aggregates over the SAME partitioning —
+    one shuffle on the group key, no sort (whole-partition frames).
+    Appends ``{prefix}_circmean_deg`` and ``{prefix}_recentered_std_deg``.
+    """
+    w = Window.partitionBy(group_col)
+    theta = (
+        epoch_seconds(ts_col) % F.lit(86400.0)
+    ) / F.lit(86400.0) * F.lit(TWO_PI)
+    mu = F.atan2(F.avg(F.sin(theta)).over(w), F.avg(F.cos(theta)).over(w))
+    pi = 3.141592653589793
+    dev = F.pmod(theta - mu + F.lit(pi), F.lit(TWO_PI)) - F.lit(pi)
+    out = df.withColumn("__dev", dev).withColumn(
+        f"{prefix}_circmean_deg",
+        (F.degrees(mu) + F.lit(360.0)) % F.lit(360.0),
+    )
+    w2 = Window.partitionBy(group_col)
+    return out.withColumn(
+        f"{prefix}_recentered_std_deg",
+        F.degrees(F.stddev_pop("__dev").over(w2)),
+    ).drop("__dev")

@@ -47,6 +47,9 @@ from nuclei_feature_extraction_spark.functions.kernels import (
 
 TWO_PI = 2.0 * 3.141592653589793
 
+GABOR_WINDOWS = (4, 16, 64)
+GABOR_PHASES = 4
+
 WINDOW_FEATURE_COLS = (
     ["session_id"]
     + [f"tlen_lag{k}" for k in (1, 2, 3)]
@@ -55,6 +58,12 @@ WINDOW_FEATURE_COLS = (
     + [f"tlen_asst_r20_{s}" for s in ("mean", "std")]
     + ["tod_circmean_r20"]
     + [f"tlen_bank_w{w}_{s}" for w in (4, 16, 64) for s in ("mean", "std")]
+    + [
+        f"tlen_gabor_w{w}_p{p}_{s}"
+        for w in GABOR_WINDOWS
+        for p in range(GABOR_PHASES)
+        for s in ("mean", "std")
+    ]
 )
 
 
@@ -105,15 +114,21 @@ def _window_features_pdf(
 
     theta = (sec % 86400.0) / 86400.0 * TWO_PI
     masked = np.where(role == "assistant", tlen, np.nan)
-    tmp = pd.DataFrame(
-        {
-            "seg": seg,
-            "tlen": tlen,
-            "masked": masked,
-            "sin": np.sin(theta),
-            "cos": np.cos(theta),
-        }
-    )
+    tmp_cols = {
+        "seg": seg,
+        "tlen": tlen,
+        "masked": masked,
+        "sin": np.sin(theta),
+        "cos": np.cos(theta),
+    }
+    # Gabor quadrature bank: carrier modulation, numerically identical
+    # to the Catalyst exprs in windows.gabor_rolling_bank
+    for w in GABOR_WINDOWS:
+        omega = TWO_PI / w
+        for p in range(GABOR_PHASES):
+            phi = p * 3.141592653589793 / GABOR_PHASES
+            tmp_cols[f"g{w}_{p}"] = np.cos(pos * omega + phi) * tlen
+    tmp = pd.DataFrame(tmp_cols)
     g = tmp.groupby("seg", sort=False)
 
     def roll(col: str, w: int):
@@ -131,6 +146,14 @@ def _window_features_pdf(
     for w in (4, 16, 64):
         out[f"tlen_bank_w{w}_mean"] = roll("tlen", w).mean().to_numpy()
         out[f"tlen_bank_w{w}_std"] = roll("tlen", w).std(ddof=0).to_numpy()
+    for w in GABOR_WINDOWS:
+        for p in range(GABOR_PHASES):
+            out[f"tlen_gabor_w{w}_p{p}_mean"] = (
+                roll(f"g{w}_{p}", w).mean().to_numpy()
+            )
+            out[f"tlen_gabor_w{w}_p{p}_std"] = (
+                roll(f"g{w}_{p}", w).std(ddof=0).to_numpy()
+            )
     return pd.DataFrame(out, index=pdf.index)
 
 
@@ -224,6 +247,12 @@ def build_features_fused(
             *[
                 T.StructField(f"tlen_bank_w{w}_{s}", T.DoubleType(), True)
                 for w in (4, 16, 64)
+                for s in ("mean", "std")
+            ],
+            *[
+                T.StructField(f"tlen_gabor_w{w}_p{p}_{s}", T.DoubleType(), True)
+                for w in GABOR_WINDOWS
+                for p in range(GABOR_PHASES)
                 for s in ("mean", "std")
             ],
         ]

@@ -30,6 +30,7 @@ from nuclei_feature_extraction_spark.operators.asof import (
 )
 from nuclei_feature_extraction_spark.operators.sessionize import sessionize
 from nuclei_feature_extraction_spark.operators.windows import (
+    gabor_rolling_bank,
     multi_scale_rolling_bank,
     with_circular_time_mean,
     with_lag_lead,
@@ -94,6 +95,10 @@ def build_features(
     if "bank" in names:
         out = multi_scale_rolling_bank(
             out, "tlen", windows=(4, 16, 64), stats=("mean", "std")
+        )
+    if "gabor" in names:
+        out = gabor_rolling_bank(
+            out, "tlen", windows=(4, 16, 64), n_phases=4, stats=("mean", "std")
         )
 
     if side_profile is not None:

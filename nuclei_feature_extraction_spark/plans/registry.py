@@ -49,7 +49,12 @@ FEATURE_REGISTRY: dict[str, FeatureSetSpec] = {
         ),
         FeatureSetSpec(
             "bank", "window",
-            "multi-scale rolling bank (Gabor analog, texture.rs:319-344)",
+            "multi-scale rolling bank (Gabor DC component, texture.rs:319-344)",
+        ),
+        FeatureSetSpec(
+            "gabor", "window",
+            "scale × phase quadrature bank (full Gabor parameter grid, "
+            "texture.rs:319-361)",
         ),
         FeatureSetSpec(
             "cooc", "kernel",
@@ -73,10 +78,10 @@ ALIASES: dict[str, list[str]] = {
     # reference: All → every concrete set (args.rs:34-41)
     "all": [
         "session", "laglead", "rolling", "masked", "circular", "bank",
-        "cooc", "runlen", "shape",
+        "gabor", "cooc", "runlen", "shape",
     ],
     # reference: Texture → glcm glrlm gabor (args.rs:42-49)
-    "texture": ["cooc", "runlen", "bank"],
+    "texture": ["cooc", "runlen", "bank", "gabor"],
     "window": ["session", "laglead", "rolling", "masked", "circular"],
 }
 

@@ -164,3 +164,92 @@ def test_multi_scale_bank_column_grid(spark, tiny_df):
     )
     # single Window sort should serve all scales: check it computes
     assert out.limit(5).count() == 5
+
+
+def test_gabor_bank_matches_numpy_oracle(spark, tiny_df, tiny_pdf):
+    """gabor_rolling_bank == naive per-conversation numpy convolution:
+    response_{w,p}(t) = stat over last w rows of cos(2π·pos/w + φ_p)·x."""
+    from nuclei_feature_extraction_spark.operators.windows import (
+        gabor_rolling_bank,
+    )
+
+    windows, n_phases = (4, 16), 3
+    cols = [
+        f"tlen_gabor_w{w}_p{p}_{s}"
+        for w in windows
+        for p in range(n_phases)
+        for s in ("mean", "std")
+    ]
+    got = (
+        gabor_rolling_bank(
+            _with_tlen(tiny_df), "tlen", windows=windows, n_phases=n_phases
+        )
+        .select("conv_id", "turn_idx", *cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pdf = _signal(tiny_pdf)
+    for w in windows:
+        for p in range(n_phases):
+            phi = p * np.pi / n_phases
+            means, stds = [], []
+            for _, g in pdf.groupby("conv_id", sort=False):
+                x = g["tlen"].to_numpy()
+                pos = np.arange(len(x))
+                m = np.cos(pos * 2 * np.pi / w + phi) * x
+                for t in range(len(x)):
+                    lo = max(0, t - w + 1)
+                    means.append(m[lo : t + 1].mean())
+                    stds.append(m[lo : t + 1].std())
+            key = pdf.assign(_m=means, _s=stds).sort_values(
+                ["conv_id", "turn_idx"]
+            )
+            assert np.allclose(
+                got[f"tlen_gabor_w{w}_p{p}_mean"], key["_m"], atol=1e-9
+            ), (w, p)
+            assert np.allclose(
+                got[f"tlen_gabor_w{w}_p{p}_std"], key["_s"], atol=1e-9
+            ), (w, p)
+
+
+def test_gabor_full_reference_grid_shape(spark, tiny_df):
+    """The operator honors the reference's 6-scale × 8-phase × 2-stat
+    parameter grid (texture.rs:319-361): 96 columns, all finite-or-nan
+    doubles, named per the grid convention."""
+    from nuclei_feature_extraction_spark.operators.windows import (
+        gabor_rolling_bank,
+    )
+
+    out = gabor_rolling_bank(_with_tlen(tiny_df), "tlen", n_phases=8)
+    grid = [c for c in out.columns if c.startswith("tlen_gabor_")]
+    assert len(grid) == 6 * 8 * 2
+    assert "tlen_gabor_w128_p7_std" in grid
+    assert out.select(grid[:4]).count() == tiny_df.count()
+
+
+def test_circular_recentered_std_matches_numpy(spark, tiny_df, tiny_pdf):
+    """A3 (color.rs:50-53): circular-mean recenter then population std,
+    per conversation, vs direct numpy."""
+    from nuclei_feature_extraction_spark.operators.windows import (
+        circular_recentered_std,
+    )
+
+    got = (
+        circular_recentered_std(tiny_df, group_col="conv_id")
+        .select("conv_id", "tod_circmean_deg", "tod_recentered_std_deg")
+        .distinct()
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    pdf = _signal(tiny_pdf)
+    for conv, g in pdf.groupby("conv_id"):
+        sec = g["ts"].astype("datetime64[us]").astype(np.int64) / 1e6
+        theta = (sec % 86400.0) / 86400.0 * 2 * np.pi
+        mu = np.arctan2(np.sin(theta).mean(), np.cos(theta).mean())
+        dev = np.mod(theta.to_numpy() - mu + np.pi, 2 * np.pi) - np.pi
+        want_mean = np.degrees(mu) % 360.0
+        want_std = np.degrees(dev.std())  # ndarray std = population (ddof=0)
+        assert abs(got.loc[conv, "tod_circmean_deg"] - want_mean) < 1e-6, conv
+        assert abs(got.loc[conv, "tod_recentered_std_deg"] - want_std) < 1e-6, conv
