@@ -33,7 +33,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--transcripts", required=True, help="input table path (parquet dir/file, json, csv)")
     p.add_argument("--side-profile", default=None, help="keyed as-of side table (conv_id, effective_ts, …)")
     p.add_argument("--side-config", default=None, help="keyless broadcast as-of side table (effective_ts, …)")
-    p.add_argument("--output", required=True, help="sink path (.parquet/.pqt/.csv/.json)")
+    p.add_argument("--output", default=None,
+                   help="sink path (.parquet/.pqt/.csv/.json); mutually "
+                   "exclusive with --checkpoint-dir (checkpointed features "
+                   "land under <checkpoint-dir>/data)")
     p.add_argument("--feature-sets", nargs="+", default=["all"],
                    help="registry names/aliases (plans/registry.py); "
                    "invalid names fail before execution, like args.rs:137-183")
@@ -44,7 +47,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="enable bucket-manifest resume under this dir")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--metrics-out", default=None)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    # exactly one output mode: a plain sink XOR a checkpointed backfill
+    # (previously --output was silently ignored with --checkpoint-dir)
+    if args.checkpoint_dir and args.output:
+        p.error("--output and --checkpoint-dir are mutually exclusive: "
+                "checkpointed features land under <checkpoint-dir>/data")
+    if not args.checkpoint_dir and not args.output:
+        p.error("one of --output or --checkpoint-dir is required")
+    return args
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -84,16 +95,30 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.checkpoint_dir:
         # bucket filter lands on the SOURCE; resume recomputes only
-        # pending buckets' features
+        # pending buckets' features. Rows come from the manifest's
+        # per-bucket counts (run_pipeline triggers one Spark job per
+        # bucket group — a single source Observation would only see the
+        # first job's rows).
         writer = CheckpointedWriter(args.checkpoint_dir, n_buckets=args.n_buckets)
-        _, metrics = run_with_metrics(
-            tr, lambda src: writer.run_pipeline(src, pipeline)
-        )
-    else:
-        _, metrics = run_with_metrics(
-            pipeline(tr),
-            lambda d: write_features(d, args.output, overwrite=args.overwrite),
-        )
+        manifest = writer.run_pipeline(tr, pipeline)
+        rows = sum(v["rows"] for v in manifest["completed"].values())
+        wall = round(sum(v["wall_seconds"] for v in manifest["completed"].values()), 3)
+        summary = {
+            "rows": rows,
+            "wall_seconds": wall,
+            "rows_per_sec": round(rows / wall, 3) if wall else None,
+            "data_dir": os.path.join(args.checkpoint_dir, "data"),
+            "manifest_version": manifest["version"],
+        }
+        if args.metrics_out:
+            with open(args.metrics_out, "w") as fh:
+                json.dump(summary, fh, indent=2)
+        print(json.dumps(summary))
+        return 0
+    _, metrics = run_with_metrics(
+        pipeline(tr),
+        lambda d: write_features(d, args.output, overwrite=args.overwrite),
+    )
     if args.metrics_out:
         metrics.write(args.metrics_out)
     print(json.dumps({"rows": metrics.rows, "wall_seconds": metrics.wall_seconds,

@@ -135,6 +135,7 @@ def asof_join_broadcast(
     left_ts: str = "ts",
     right_ts: str = "effective_ts",
     value_cols: Sequence[str] | None = None,
+    tie_cols: Sequence[str] = (),
     tolerance_seconds: float | None = None,
     max_side_rows: int = 2_000_000,
 ) -> DataFrame:
@@ -144,9 +145,20 @@ def asof_join_broadcast(
     over by an Arrow pandas UDF that binary-searches each anchor batch
     (``np.searchsorted``, side='right' → inclusive ``<=`` semantics).
     No shuffle at all — the left plan stays narrow.
+
+    Among side rows sharing the same ``right_ts``, the greatest
+    ``tie_cols`` tuple wins (searchsorted picks the LAST row of the
+    sorted run — same convention as ``asof_join``). Without tie_cols,
+    duplicate-``right_ts`` resolution follows the side table's incoming
+    row order, which is only deterministic if ``right_ts`` is unique.
     """
     vcols = _value_cols(right, [], right_ts, value_cols)
-    rpd = right.select(right_ts, *vcols).orderBy(right_ts).toPandas()
+    fetch = list(dict.fromkeys([right_ts, *vcols, *tie_cols]))
+    rpd = (
+        right.select(*fetch)
+        .orderBy(right_ts, *tie_cols)
+        .toPandas()
+    )
     if len(rpd) > max_side_rows:
         raise ValueError(
             f"broadcast as-of side has {len(rpd)} rows > {max_side_rows}; "
@@ -181,6 +193,48 @@ def asof_join_broadcast(
         F.col("__m")[c].alias(c) for c in vcols
     ]
     return out.select(*sel)
+
+
+def asof_strategy_hint(
+    left: DataFrame,
+    on: str | Sequence[str],
+    sample_fraction: float = 0.01,
+    skew_share: float = 0.05,
+    seed: int = 7,
+) -> dict:
+    """One cheap sampled aggregate → which physical as-of strategy to
+    use. AQE's skew-join splitting does NOT apply to window partitions
+    or cogroups: a hot key lands on one task either way. The difference
+    is what that task does —
+
+    - ``asof_join`` (union-window): the JVM sorts the hot partition with
+      an EXTERNAL, spillable sort → slow but safe for a key holding 10%
+      of 10^12 rows.
+    - ``asof_join_cogrouped``: the whole hot key must materialize as ONE
+      in-memory pandas frame → faster for many small groups (no window
+      state machine), OOM for a giant key.
+
+    So: skewed (hottest key ≥ ``skew_share`` of sampled rows) →
+    'union_window'; uniform small groups → 'cogrouped' is admissible
+    and often faster. Crossover measured in tests/test_asof.py +
+    BENCH/BASELINE.md."""
+    on = [on] if isinstance(on, str) else list(on)
+    s = left.select(*on)
+    if sample_fraction < 1.0:
+        s = s.sample(fraction=sample_fraction, seed=seed)
+    row = (
+        s.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .collect()[0]
+    )
+    if not row["tot"]:
+        return {"strategy": "union_window", "hot_key_share": 0.0}
+    share = float(row["mx"]) / float(row["tot"])
+    return {
+        "strategy": "union_window" if share >= skew_share else "cogrouped",
+        "hot_key_share": round(share, 4),
+    }
 
 
 def asof_join_cogrouped(

@@ -192,20 +192,33 @@ def build_features_fused(
     levels: Sequence[int] = DEFAULT_LEVELS,
     gap_minutes: float = 30.0,
     num_partitions: int | None = None,
-    max_broadcast_side_rows: int = 20_000_000,
+    max_broadcast_side_rows: int = 2_000_000,
 ) -> DataFrame:
     """Single-shuffle full feature vector; column-compatible with
-    ``build_features(df, ["all"], side_profile, side_config)``."""
+    ``build_features(df, ["all"], side_profile, side_config)``.
+
+    Side tables within ``max_broadcast_side_rows`` ride into the kernel
+    as driver-built broadcast arrays (a Python dict of numpy arrays —
+    2M rows ≈ low-hundreds of MB on the driver, hence the guard). A
+    LARGER side table automatically falls back to the composable
+    union-window as-of applied AFTER the fused pass: the features
+    themselves still take exactly one narrow shuffle; only the as-of
+    merge adds its own key-shuffle. The row count is checked with a
+    cheap ``count()`` BEFORE any driver materialization."""
     spark = df.sparkSession
+
+    fallback_profile = None
+    if side_profile is not None and side_profile.count() > max_broadcast_side_rows:
+        fallback_profile = side_profile
+        side_profile = None
+    fallback_config = None
+    if side_config is not None and side_config.count() > max_broadcast_side_rows:
+        fallback_config = side_config
+        side_config = None
 
     profile_by_conv = None
     if side_profile is not None:
         ppd = side_profile.toPandas()
-        if len(ppd) > max_broadcast_side_rows:
-            raise ValueError(
-                "side_profile too large to broadcast into the fused kernel; "
-                "use the composable pipeline's union-window as-of instead"
-            )
         ppd = ppd.sort_values(["effective_ts", "plan"], kind="mergesort")
         rts_all = ppd["effective_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
         profile_by_conv = {}
@@ -329,4 +342,21 @@ def build_features_fused(
         if carry is not None and len(carry):
             yield process(carry)
 
-    return prep.mapInPandas(gen, schema)
+    out = prep.mapInPandas(gen, schema)
+    if fallback_profile is not None:
+        from nuclei_feature_extraction_spark.operators.asof import asof_join
+
+        out = asof_join(
+            out, fallback_profile, on="conv_id", left_ts="ts",
+            right_ts="effective_ts", tie_cols=("plan",),
+        )
+    if fallback_config is not None:
+        from nuclei_feature_extraction_spark.operators.asof import asof_join
+
+        # keyless side too big to broadcast: constant-key union-window
+        out = out.withColumn("__k", F.lit(1))
+        out = asof_join(
+            out, fallback_config.withColumn("__k", F.lit(1)), on="__k",
+            left_ts="ts", right_ts="effective_ts",
+        ).drop("__k")
+    return out

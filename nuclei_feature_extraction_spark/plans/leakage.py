@@ -54,9 +54,18 @@ def _upper_is_safe(upper: str) -> bool:
 
 def audit_no_future_frames(df: DataFrame, allow_future_cols: bool = True) -> None:
     """Raise LeakageError if any window expression can read past the
-    current row into a non-``future_`` output column."""
+    current row into a non-``future_`` output column.
+
+    FAIL CLOSED on unparseable frames: every ``specifiedwindowframe``
+    occurrence in the plan must be consumed by the expression regex —
+    a frame the regex can't see (backticked alias, exotic bound
+    nesting) raises instead of being silently skipped, so a
+    future-reaching frame can never slip through a parse gap."""
     plan = df._jdf.queryExecution().analyzed().toString()
+    n_frames = plan.count("specifiedwindowframe(")
+    matched = 0
     for m in _WINEXPR_RE.finditer(plan):
+        matched += 1
         upper, alias = m.group(3), m.group(4)
         if _upper_is_safe(upper):
             continue
@@ -66,6 +75,12 @@ def audit_no_future_frames(df: DataFrame, allow_future_cols: bool = True) -> Non
             f"window column {alias!r} has future-reaching frame upper "
             f"bound {upper.strip()!r}; rename to {FUTURE_PREFIX}{alias} "
             "if intentional (quarantined from the verified vector)"
+        )
+    if matched < n_frames:
+        raise LeakageError(
+            f"leakage audit parsed only {matched} of {n_frames} window "
+            "frames in the plan — unparsed frames fail closed; inspect "
+            "df.explain(True) and extend _WINEXPR_RE"
         )
 
 

@@ -14,6 +14,13 @@ conversations:
   Iceberg-snapshot emulation (snapshot id ≈ manifest version);
 - ``run()`` after a crash skips completed buckets (anti-join by bucket
   id at the partition-pruning level, not row level).
+
+Idempotent resume: bucket groups are written with DYNAMIC PARTITION
+OVERWRITE (``partitionOverwriteMode=dynamic``), so a crash in the
+window between the parquet job committing and the manifest bump (driver
+kill, OOM, partial commit) is safe — the resumed run REPLACES those
+bucket partitions instead of appending a second copy. Pinned by
+``fail_after_write`` injection in tests/test_checkpoint_lineage_io.py.
 """
 
 from __future__ import annotations
@@ -68,15 +75,34 @@ class CheckpointedWriter:
             ),
         )
 
-    def run(self, df: DataFrame, fail_after_jobs: int | None = None) -> dict:
-        """Write all pending buckets in groups; resumable at group
-        granularity. ``fail_after_jobs`` injects a crash (tests)."""
-        manifest = self.load_manifest()
+    def _write_group(self, part: DataFrame) -> None:
+        """Idempotent bucket-group write: dynamic partition overwrite
+        replaces exactly the bucket partitions present in ``part``, so
+        re-running a group after a crash-before-manifest never
+        duplicates rows (append would)."""
+        part.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(os.path.join(self.out_dir, "data"))
+
+    def _check_manifest(self, manifest: dict) -> None:
         if manifest["n_buckets"] != self.n_buckets:
             raise ValueError(
                 f"manifest has n_buckets={manifest['n_buckets']}, "
                 f"writer configured with {self.n_buckets}"
             )
+
+    def run(
+        self,
+        df: DataFrame,
+        fail_after_jobs: int | None = None,
+        fail_after_write: bool = False,
+    ) -> dict:
+        """Write all pending buckets in groups; resumable at group
+        granularity. ``fail_after_jobs`` injects a crash before a group's
+        write; ``fail_after_write`` injects one in the write→manifest
+        window (tests the idempotent-overwrite guarantee)."""
+        manifest = self.load_manifest()
+        self._check_manifest(manifest)
         done = {int(b) for b in manifest["completed"]}
         pending = [b for b in range(self.n_buckets) if b not in done]
         bdf = self._with_bucket(df)
@@ -87,9 +113,11 @@ class CheckpointedWriter:
                 raise RuntimeError(f"injected failure before bucket group {group}")
             t0 = time.perf_counter()
             part = bdf.filter(F.col("bucket").isin(group))
-            part.write.mode("append").partitionBy("bucket").parquet(
-                os.path.join(self.out_dir, "data")
-            )
+            self._write_group(part)
+            if fail_after_write:
+                raise RuntimeError(
+                    f"injected failure after write, before manifest, group {group}"
+                )
             rows_by_bucket = self._written_counts(part.sparkSession, group)
             dt = round(time.perf_counter() - t0, 3)
             for b in group:
@@ -107,6 +135,7 @@ class CheckpointedWriter:
         source_df: DataFrame,
         pipeline_fn,
         fail_after_jobs: int | None = None,
+        fail_after_write: bool = False,
     ) -> dict:
         """Resumable FEATURE BACKFILL: the bucket filter is applied to the
         SOURCE (cheap, pushed before the expensive pipeline), and
@@ -115,6 +144,7 @@ class CheckpointedWriter:
         table (``run(features_df)`` would re-derive the full pipeline per
         group just to filter it afterwards)."""
         manifest = self.load_manifest()
+        self._check_manifest(manifest)
         done = {int(b) for b in manifest["completed"]}
         pending = [b for b in range(self.n_buckets) if b not in done]
         bsrc = self._with_bucket(source_df)
@@ -126,9 +156,11 @@ class CheckpointedWriter:
             t0 = time.perf_counter()
             part_src = bsrc.filter(F.col("bucket").isin(group)).drop("bucket")
             feats = self._with_bucket(pipeline_fn(part_src))
-            feats.write.mode("append").partitionBy("bucket").parquet(
-                os.path.join(self.out_dir, "data")
-            )
+            self._write_group(feats)
+            if fail_after_write:
+                raise RuntimeError(
+                    f"injected failure after write, before manifest, group {group}"
+                )
             rows_by_bucket = self._written_counts(feats.sparkSession, group)
             dt = round(time.perf_counter() - t0, 3)
             for b in group:

@@ -15,18 +15,28 @@ from pyspark.sql import functions as F
 
 def streaming_session_stats(
     stream: DataFrame,
-    gap: str = "30 minutes",
+    gap_seconds: float = 1800.0,
     watermark: str = "2 hours",
     conv_col: str = "conv_id",
     ts_col: str = "ts",
 ) -> DataFrame:
     """Per-(conversation, session) aggregates over a streaming source:
     n_turns, session start/end. Append-mode compatible (sessions emit
-    once the watermark passes their close)."""
+    once the watermark passes their close).
+
+    Boundary parity with batch ``sessionize``: the batch operator splits
+    only on gap STRICTLY GREATER than the cutoff. ``session_window``'s
+    merge condition was verified EMPIRICALLY (Spark 4.1): a gap of
+    exactly the duration MERGES and duration+1µs splits — i.e. merge ⇔
+    gap ≤ duration, identical to batch. So the duration is passed
+    verbatim. Pinned by the exact-boundary case in
+    tests/test_checkpoint_lineage_io.py (would catch an engine-version
+    semantics change)."""
+    gap_us = int(round(gap_seconds * 1_000_000))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
-            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.session_window(F.col(ts_col), f"{gap_us} microseconds").alias("sw"),
             F.col(conv_col),
         )
         .agg(

@@ -226,3 +226,87 @@ def test_asof_duplicate_right_ts_tiebreak(spark):
     )
     got = asof_join(left, right, on="conv_id", tie_cols=("plan",)).toPandas()
     assert got["plan"].tolist() == ["zzz"]  # greatest tie wins, deterministic
+
+
+def test_asof_broadcast_tie_cols_deterministic(spark):
+    """Duplicate right_ts in the broadcast side: greatest tie_cols tuple
+    wins, matching asof_join's convention."""
+    import pandas as pd
+
+    from nuclei_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+    )
+
+    t = pd.Timestamp("2024-01-01 00:00:00")
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [t + pd.Timedelta(minutes=5)]})
+    )
+    side = pd.DataFrame(
+        {
+            "effective_ts": [t, t, t],
+            "plan": ["a", "c", "b"],
+            "score": [1.0, 3.0, 2.0],
+        }
+    )
+    for order in ([0, 1, 2], [2, 1, 0], [1, 0, 2]):  # any incoming order
+        got = asof_join_broadcast(
+            left,
+            spark.createDataFrame(side.iloc[order]),
+            tie_cols=("plan",),
+        ).toPandas()
+        assert got["plan"].iloc[0] == "c" and got["score"].iloc[0] == 3.0
+
+
+def test_asof_skewed_key_strategies_agree_and_hint(spark):
+    """One key holds ~10% of all rows (the mega-conversation case AQE
+    cannot split for windows/cogroups): both physical strategies return
+    identical matches, and the hint routes the skewed table to the
+    spillable union-window plan."""
+    import numpy as np
+    import pandas as pd
+
+    from nuclei_feature_extraction_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+        asof_strategy_hint,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.10, "hot", rng.integers(0, 500, n).astype(str))
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 86_400, n), unit="s"
+    )
+    left = spark.createDataFrame(
+        pd.DataFrame({"conv_id": keys, "ts": ts, "rid": np.arange(n)})
+    )
+    sk = np.concatenate([["hot"] * 20, rng.integers(0, 500, 200).astype(str)])
+    side = pd.DataFrame(
+        {
+            "conv_id": sk,
+            "effective_ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86_400, len(sk)), unit="s"),
+            "v": rng.random(len(sk)),
+        }
+    )
+    sdf = spark.createDataFrame(side)
+    a = (
+        asof_join(left, sdf, on="conv_id", left_ts="ts", right_ts="effective_ts")
+        .orderBy("rid").toPandas()
+    )
+    b = (
+        asof_join_cogrouped(
+            left, sdf, on="conv_id", left_ts="ts", right_ts="effective_ts"
+        ).orderBy("rid").toPandas()
+    )
+    assert np.allclose(
+        a["v"].to_numpy(dtype=float), b["v"].to_numpy(dtype=float), equal_nan=True
+    )
+    hint = asof_strategy_hint(left, "conv_id", sample_fraction=0.25)
+    assert hint["strategy"] == "union_window"
+    assert hint["hot_key_share"] >= 0.05
+    uniform = left.filter(left["conv_id"] != "hot")
+    assert (
+        asof_strategy_hint(uniform, "conv_id", sample_fraction=0.5)["strategy"]
+        == "cogrouped"
+    )

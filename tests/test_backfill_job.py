@@ -55,3 +55,38 @@ def test_package_zip(tmp_path):
 
     names = zipfile.ZipFile(out).namelist()
     assert "nuclei_feature_extraction_spark/plans/pipeline.py" in names
+
+
+def test_backfill_cli_output_checkpoint_mutual_exclusion():
+    import pytest
+
+    import jobs.run_backfill as job
+
+    with pytest.raises(SystemExit):
+        job.parse_args(
+            ["--transcripts", "x.parquet", "--output", "y.parquet",
+             "--checkpoint-dir", "/tmp/ck"]
+        )
+    with pytest.raises(SystemExit):
+        job.parse_args(["--transcripts", "x.parquet"])
+
+
+def test_backfill_cli_checkpointed_rows_from_manifest(spark, tmp_path, tiny_pdf):
+    """Checkpointed backfill reports rows summed from the manifest (one
+    Spark job per bucket group — a single Observation would undercount)."""
+    import json as _json
+
+    import jobs.run_backfill as job
+
+    src = str(tmp_path / "tr.parquet")
+    spark.createDataFrame(tiny_pdf).write.parquet(src)
+    ck = str(tmp_path / "ck")
+    mpath = str(tmp_path / "m.json")
+    rc = job.main(
+        ["--transcripts", src, "--checkpoint-dir", ck, "--n-buckets", "4",
+         "--feature-sets", "session", "--metrics-out", mpath]
+    )
+    assert rc == 0
+    m = _json.load(open(mpath))
+    assert m["rows"] == len(tiny_pdf)
+    assert spark.read.parquet(m["data_dir"]).count() == len(tiny_pdf)

@@ -157,3 +157,86 @@ def test_checkpoint_run_pipeline_resume(spark, tiny_df, tmp_path):
     assert len(got) == len(want)
     assert (got["session_id"].to_numpy() == want["session_id"].to_numpy()).all()
     assert (got["tlen"].to_numpy() == want["tlen"].to_numpy()).all()
+
+
+def test_streaming_session_exact_boundary_matches_batch(spark, tmp_path):
+    """A gap of EXACTLY the cutoff merges in batch (split on strictly
+    greater); the +1µs session_window duration makes streaming agree.
+    One µs past the cutoff splits on both paths."""
+    import pandas as pd
+
+    from nuclei_feature_extraction_spark.operators import sessionize
+    from nuclei_feature_extraction_spark.streaming import (
+        streaming_session_stats,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    gap = pd.Timedelta(seconds=1800)
+    us = pd.Timedelta(microseconds=1)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["edge"] * 3 + ["over"] * 2,
+            "turn_idx": [0, 1, 2, 0, 1],
+            "ts": [t0, t0 + gap, t0 + 2 * gap, t0, t0 + gap + us],
+        }
+    )
+    batch = (
+        sessionize(spark.createDataFrame(pdf))
+        .groupBy("conv_id")
+        .agg((F.max("session_id") + 1).alias("n_sessions"))
+        .toPandas()
+        .set_index("conv_id")["n_sessions"]
+    )
+    assert batch["edge"] == 1 and batch["over"] == 2
+
+    src = str(tmp_path / "edge_stream_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_session_stats(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("edge_sess")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql(
+            "SELECT conv_id, count(*) AS n FROM edge_sess GROUP BY conv_id"
+        )
+        .toPandas()
+        .set_index("conv_id")["n"]
+    )
+    assert got["edge"] == 1 and got["over"] == 2
+
+
+def test_checkpoint_resume_after_crash_between_write_and_manifest(
+    spark, tiny_df, tmp_path
+):
+    """The write→manifest crash window: data for a group is committed on
+    disk but the manifest never recorded it. Resume re-runs that group;
+    dynamic partition overwrite must REPLACE (not append) the orphaned
+    partitions — zero duplicates."""
+    out = str(tmp_path / "ckpt3")
+    w = CheckpointedWriter(out, n_buckets=8, buckets_per_job=2)
+    with pytest.raises(RuntimeError, match="after write, before manifest"):
+        w.run(tiny_df, fail_after_write=True)
+    # the first group's data exists on disk, manifest knows nothing
+    assert w.load_manifest()["completed"] == {}
+    assert w.read_back(spark).count() > 0  # orphaned committed data
+    m = w.run(tiny_df)  # resume re-runs ALL groups incl. the orphaned one
+    assert len(m["completed"]) == 8
+    got = w.read_back(spark)
+    assert got.count() == tiny_df.count()  # would be count()+orphan with append
+    assert got.select("conv_id", "turn_idx").distinct().count() == tiny_df.count()
+
+
+def test_run_pipeline_rejects_mismatched_n_buckets(spark, tiny_df, tmp_path):
+    out = str(tmp_path / "ckpt4")
+    CheckpointedWriter(out, n_buckets=8, buckets_per_job=8).run(tiny_df)
+    w2 = CheckpointedWriter(out, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        w2.run_pipeline(tiny_df, lambda d: d)

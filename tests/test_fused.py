@@ -57,3 +57,32 @@ def test_fused_text_byte_equality(spark, tiny_df, tiny_pdf):
     )
     want = _sorted(tiny_pdf[["conv_id", "turn_idx", "text"]])
     assert (got["text"] == want["text"]).all()
+
+
+def test_fused_broadcast_fallback_matches_composable(
+    spark, tiny_df, side_profile_df, side_config_df
+):
+    """Forcing the side tables past the broadcast guard must route them
+    through the union-window as-of fallback with identical results."""
+    forced = _sorted(
+        build_features_fused(
+            tiny_df, side_profile=side_profile_df, side_config=side_config_df,
+            lags=(1,), levels=(4,), max_broadcast_side_rows=1,
+        ).toPandas()
+    )
+    comp = _sorted(
+        build_features(
+            tiny_df, ["all"], side_profile=side_profile_df,
+            side_config=side_config_df, lags=(1,), levels=(4,),
+        ).toPandas()
+    )
+    assert set(forced.columns) == set(comp.columns)
+    for c in comp.columns:
+        a, b = forced[c], comp[c]
+        if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+            assert np.allclose(
+                a.to_numpy(dtype=float), b.to_numpy(dtype=float),
+                rtol=1e-9, atol=1e-9, equal_nan=True,
+            ), f"column {c} diverges under fallback"
+        else:
+            assert (a.fillna("∅").astype(str) == b.fillna("∅").astype(str)).all(), c
