@@ -2,12 +2,17 @@
 
 Images/audio/video ride as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side plumbing — schema, partition-preserving
-``mapInPandas`` batching, Arrow-safe UDF signatures, deterministic fake
-feature extraction for tests — is real; the actual codec step is STUBBED
-(``decode_stub=True`` produces deterministic pseudo-features from the
-bytes; ``decode_stub=False`` raises NotImplementedError where a PIL /
-torchaudio / ffmpeg call would slot in — those libs are not in this
-container).
+``mapInPandas`` batching, Arrow-safe UDF signatures — is real, and the
+codec step is REAL for two formats with zero external deps:
+
+- ``image``: 24-bit uncompressed BMP, parsed with pure numpy
+  (``decode_bmp``; header layout per the public BMP spec) → per-channel
+  means, grayscale std, gradient energy.
+- ``audio``: PCM WAV via the stdlib ``wave`` module (``decode_wav``) →
+  duration, RMS, zero-crossing rate, spectral-ish stats.
+- ``video``: still a DECLARED STUB (``decode_stub=True`` yields
+  deterministic byte-histogram pseudo-features; ``decode_stub=False``
+  raises NotImplementedError where an ffmpeg call would slot in).
 
 At 100 TB the shape matters: blobs never shuffle (all ops are narrow
 per-partition maps), metadata-only predicates prune before any byte of
@@ -17,6 +22,9 @@ small vectors flow downstream.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -48,38 +56,185 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
-def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (no external data)."""
-    rng = np.random.default_rng(seed)
-    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+# ------------------------------------------------------------ BMP codec
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (RGB HxWx3 uint8 in,
+    bottom-up BGR rows padded to 4 bytes out) — the deterministic test
+    fixture generator; no external imaging libs in this container."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp expects HxWx3 uint8")
+    h, w = arr.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    data_size = (row_bytes + pad) * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
     rows = []
-    for i in range(n):
-        blob = rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8)
-        rows.append(
-            (
-                i,
-                str(kinds[i]),
-                bytes(blob.tobytes()),
-                (
-                    int(rng.integers(16, 1024)),
-                    int(rng.integers(16, 1024)),
-                    float(rng.random() * 300),
-                    f"x/{kinds[i]}",
-                ),
+    bgr = arr[:, :, ::-1]  # BMP stores BGR
+    for r in range(h - 1, -1, -1):  # bottom-up
+        rows.append(bgr[r].tobytes() + b"\x00" * pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Parse a 24-bit uncompressed bottom-up BMP into RGB HxWx3 uint8
+    with pure numpy. Malformed input raises ValueError (the engine's
+    corrupt-input policy is fail-fast, SURVEY §3 P3)."""
+    if blob is None or len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    off = struct.unpack_from("<I", blob, 10)[0]
+    size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = off + stride * h
+    if len(blob) < need:
+        raise ValueError("truncated BMP")
+    raw = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+# ------------------------------------------------------------ WAV codec
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono 16-bit PCM WAV writer via the stdlib ``wave`` module
+    (samples in [-1, 1])."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (float64 samples in [-1, 1] averaged over channels,
+    sample_rate). 8/16/32-bit integer PCM supported; malformed input
+    raises ValueError."""
+    if blob is None or len(blob) < 44:
+        raise ValueError("not a WAV blob")
+    try:
+        with wave.open(io.BytesIO(blob), "rb") as wf:
+            nch, sw, rate, nframes = (
+                wf.getnchannels(), wf.getsampwidth(), wf.getframerate(),
+                wf.getnframes(),
             )
-        )
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+            raw = wf.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"bad WAV: {e}") from e
+    dt = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+    if dt is None:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+    if sw == 1:
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(2 ** (8 * sw - 1))
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+# --------------------------------------------------------- feature maps
+
+def image_features(rgb: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real image features from a decoded RGB array: normalized dims,
+    per-channel means, grayscale std + mean absolute gradient."""
+    h, w = rgb.shape[:2]
+    f = np.zeros(dim)
+    x = rgb.astype(np.float64) / 255.0
+    gray = x @ np.array([0.299, 0.587, 0.114])
+    gx = np.abs(np.diff(gray, axis=1)).mean() if w > 1 else 0.0
+    gy = np.abs(np.diff(gray, axis=0)).mean() if h > 1 else 0.0
+    vals = [
+        np.log1p(w) / 12.0, np.log1p(h) / 12.0,
+        x[:, :, 0].mean(), x[:, :, 1].mean(), x[:, :, 2].mean(),
+        gray.std(), gx, gy,
+    ]
+    f[: min(dim, len(vals))] = vals[:dim]
+    return f
+
+
+def audio_features(
+    samples: np.ndarray, rate: int, dim: int = FEATURE_DIM
+) -> np.ndarray:
+    """Real audio features: duration, RMS, peak, zero-crossing rate,
+    mean |first difference| (spectral proxy), energy quartile skew."""
+    f = np.zeros(dim)
+    n = len(samples)
+    if n == 0:
+        return f
+    dur = n / float(rate)
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples))))) if n > 1 else 0.0
+    d1 = float(np.abs(np.diff(samples)).mean()) if n > 1 else 0.0
+    q = np.array_split(samples**2, 4)
+    e = np.array([c.mean() if len(c) else 0.0 for c in q])
+    skew = float(e[3] - e[0]) / (float(e.mean()) + 1e-12)
+    vals = [
+        np.log1p(dur), float(np.sqrt((samples**2).mean())),
+        float(np.abs(samples).max()), zcr, d1, skew,
+        np.log1p(rate) / 12.0, float(samples.mean()),
+    ]
+    f[: min(dim, len(vals))] = vals[:dim]
+    return f
 
 
 def _stub_features(blob: bytes, dim: int) -> np.ndarray:
     """Deterministic pseudo-embedding: byte-histogram moments. Stands in
-    for a real decode→model step; stable across runs and engines."""
+    for the video decode→model step; stable across runs and engines."""
     if blob is None or len(blob) == 0:
         return np.zeros(dim)
     arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
     chunks = np.array_split(arr, dim)
     return np.array([c.mean() / 255.0 if len(c) else 0.0 for c in chunks])
 
+
+# ----------------------------------------------------------- test media
+
+def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (no external data): REAL BMP blobs
+    for images, REAL WAV blobs for audio, opaque bytes for video."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    rows = []
+    for i in range(n):
+        kind = str(kinds[i])
+        if kind == "image":
+            h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blob, dur = encode_bmp(img), None
+        elif kind == "audio":
+            rate = 8000
+            dur = float(rng.random() * 0.05 + 0.01)
+            t = np.arange(int(dur * rate)) / rate
+            sig = 0.5 * np.sin(2 * np.pi * float(rng.integers(100, 800)) * t)
+            blob = encode_wav(sig, rate)
+            h = w = None
+        else:
+            blob = bytes(
+                rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8)
+            )
+            h, w, dur = int(rng.integers(16, 1024)), int(rng.integers(16, 1024)), (
+                float(rng.random() * 300)
+            )
+        rows.append((i, kind, blob, (w, h, dur, f"x/{kind}")))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------- spark layer
 
 def extract_media_features(
     df: DataFrame,
@@ -88,7 +243,13 @@ def extract_media_features(
     batch_limit_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Per-blob feature vectors via ``mapInPandas`` (narrow — blobs never
-    shuffle; output drops the blob). Real decode is a stub here."""
+    shuffle; output drops the blob).
+
+    ``decode_stub=False`` runs the REAL codecs: BMP for ``image``, WAV
+    for ``audio`` (both dependency-free); ``video`` has no in-container
+    codec and raises NotImplementedError (declared stub). With
+    ``decode_stub=True`` every kind takes the deterministic
+    byte-histogram path (fast smoke mode)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -97,14 +258,21 @@ def extract_media_features(
         ]
     )
 
+    def one(kind: str, blob: bytes) -> list[float]:
+        if decode_stub:
+            return list(_stub_features(blob, dim))
+        if kind == "image":
+            return list(image_features(decode_bmp(blob), dim))
+        if kind == "audio":
+            return list(audio_features(*decode_wav(blob), dim))
+        raise NotImplementedError(
+            "real video decode needs ffmpeg — not in this container; "
+            "wire the codec here"
+        )
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode needs PIL/torchaudio/ffmpeg — not in "
-                    "this container; wire the codec here"
-                )
-            feats = [list(_stub_features(b, dim)) for b in pdf["blob"]]
+            feats = [one(k, b) for k, b in zip(pdf["kind"], pdf["blob"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

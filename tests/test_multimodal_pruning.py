@@ -72,3 +72,95 @@ def test_iceberg_style_partition_pruning(spark, tiny_df, tmp_path):
     # partition filters prune directories before any row is read
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+# ------------------------------------------------- round 2: real codecs
+
+
+def test_bmp_roundtrip_and_features_vs_numpy(spark):
+    """Real BMP decode (pure numpy) through the Spark mapInPandas path:
+    features equal a direct numpy computation on the source array."""
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        encode_bmp,
+        extract_media_features,
+        image_features,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()  # lossless roundtrip
+    # odd width exercises the 4-byte row padding path
+    df = spark.createDataFrame(
+        [(0, "image", encode_bmp(img), (5, 7, None, "x/image"))],
+        schema=MEDIA_SCHEMA,
+    )
+    got = extract_media_features(df, decode_stub=False).toPandas()
+    want = image_features(img)
+    assert np.allclose(np.array(got["feat"].iloc[0]), want, atol=1e-12)
+    # channel means must match the raw array exactly
+    assert abs(want[2] - img[:, :, 0].mean() / 255.0) < 1e-12
+
+
+def test_wav_decode_and_features(spark):
+    """Real WAV decode (stdlib wave): a sine wave's RMS ≈ A/√2, duration
+    and rate recovered exactly."""
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_wav,
+        encode_wav,
+        extract_media_features,
+    )
+
+    rate, amp = 8000, 0.5
+    t = np.arange(rate) / rate  # exactly 1 s
+    sig = amp * np.sin(2 * np.pi * 440 * t)
+    blob = encode_wav(sig, rate)
+    x, r = decode_wav(blob)
+    assert r == rate and len(x) == rate
+    assert abs(np.sqrt((x**2).mean()) - amp / np.sqrt(2)) < 1e-3
+    df = spark.createDataFrame(
+        [(0, "audio", blob, (None, None, 1.0, "x/audio"))], schema=MEDIA_SCHEMA
+    )
+    feat = np.array(
+        extract_media_features(df, decode_stub=False).toPandas()["feat"].iloc[0]
+    )
+    assert abs(feat[0] - np.log1p(1.0)) < 1e-6  # duration
+    assert abs(feat[1] - amp / np.sqrt(2)) < 1e-3  # rms
+
+
+def test_real_decode_corrupt_blob_fails_fast(spark):
+    """Corrupt-input policy (P3): a malformed BMP raises, it does not
+    silently produce features."""
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "image", b"THIS IS NOT A BMP", (0, 0, None, "x/image"))],
+        schema=MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="not a BMP|BMP"):
+        extract_media_features(df, decode_stub=False).collect()
+
+
+def test_synthesized_media_real_decode_end_to_end(spark):
+    """synthesize_media now emits REAL BMP/WAV blobs: the full image +
+    audio subset decodes for real; video stays a declared stub."""
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        extract_media_features,
+        filter_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=48)
+    ia = filter_media(media, kinds=["image", "audio"])
+    got = extract_media_features(ia, decode_stub=False).toPandas()
+    assert len(got) == ia.count() > 0
+    assert got["feat"].map(len).eq(8).all()
+    assert got["feat"].map(lambda f: np.isfinite(f).all()).all()
+    video = filter_media(media, kinds=["video"])
+    with pytest.raises(Exception, match="NotImplementedError|video"):
+        extract_media_features(video, decode_stub=False).collect()
