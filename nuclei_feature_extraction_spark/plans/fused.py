@@ -86,8 +86,17 @@ def _window_features_pdf(
     pdf: pd.DataFrame, gap_minutes: float = 30.0
 ) -> pd.DataFrame:
     """All window-family features over a sorted multi-conversation chunk,
-    numerically identical to the Catalyst expressions in
-    operators/windows.py (pinned by test_fused.py)."""
+    numerically equal (1e-9) to the Catalyst expressions in
+    operators/windows.py (pinned by test_fused.py).
+
+    Trailing mean/std for EVERY (signal, window) pair come from ONE
+    segmented cumsum pass over a single (n, k) block — rolling sum =
+    csum[i] − csum[i−w] within the segment — instead of one pandas
+    rolling call per stat (38 C passes + block consolidation dominated
+    the round-1 profile: 17s → ~2s per 1M rows). Error stays bounded by
+    the per-segment partial sums (groupby cumsum restarts per
+    conversation, so nothing leaks across segments). Only min/max keep
+    the pandas rolling deque (no cumsum identity exists)."""
     conv, _ = pd.factorize(pdf["conv_id"].to_numpy(), sort=False)
     n = len(pdf)
     first = np.empty(n, dtype=bool)
@@ -113,48 +122,119 @@ def _window_features_pdf(
         out[f"role_lag{k}"] = _seg_shift_obj(role, pos, k)
 
     theta = (sec % 86400.0) / 86400.0 * TWO_PI
-    masked = np.where(role == "assistant", tlen, np.nan)
-    tmp_cols = {
-        "seg": seg,
-        "tlen": tlen,
-        "masked": masked,
-        "sin": np.sin(theta),
-        "cos": np.cos(theta),
-    }
-    # Gabor quadrature bank: carrier modulation, numerically identical
-    # to the Catalyst exprs in windows.gabor_rolling_bank
+    is_asst = role == "assistant"
+    masked0 = np.where(is_asst, tlen, 0.0)  # NaN-as-0 + separate count
+
+    # ---- one cumsum block of every moment needed ----------------------
+    # Gabor phases never materialize: with I = Σcos(ωj)x, Q = Σsin(ωj)x
+    # (and the 3 second moments a², ab, b²), every phase is a scalar
+    # linear combination — 5 cumsum columns per window instead of 8.
+    cols: list[np.ndarray] = [
+        tlen, tlen * tlen, masked0, masked0 * masked0,
+        is_asst.astype(np.float64), np.sin(theta), np.cos(theta),
+    ]
+    names = ["t1", "t2", "m1", "m2", "mc", "sin", "cos"]
     for w in GABOR_WINDOWS:
         omega = TWO_PI / w
-        for p in range(GABOR_PHASES):
-            phi = p * 3.141592653589793 / GABOR_PHASES
-            tmp_cols[f"g{w}_{p}"] = np.cos(pos * omega + phi) * tlen
-    tmp = pd.DataFrame(tmp_cols)
-    g = tmp.groupby("seg", sort=False)
+        cw = np.cos(pos * omega)
+        sw = np.sin(pos * omega)
+        a = cw * tlen
+        b = sw * tlen
+        cols += [a, b, a * a, a * b, b * b]
+        names += [f"a1_{w}", f"b1_{w}", f"aa_{w}", f"ab_{w}", f"bb_{w}"]
+    k = len(cols)
+    block = np.empty((n, k))
+    for j, c in enumerate(cols):
+        block[:, j] = c
+    # global cumsum + per-segment offset: for pos ≥ w both rolling-sum
+    # terms share the segment offset, so it cancels — one gather, no
+    # groupby machinery. Chunk-bounded partial sums keep fp error far
+    # under the 1e-9 parity tolerance (chunks are Arrow-batch sized).
+    C = np.cumsum(block, axis=0)
+    rows = np.arange(n)
+    seg_start = np.maximum.accumulate(np.where(first, rows, 0))
+    offs = C[np.maximum(seg_start - 1, 0)]
+    offs[seg_start == 0] = 0.0
+    jix = {nm: j for j, nm in enumerate(names)}
+    _wcache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-    def roll(col: str, w: int):
-        return g[col].rolling(w, min_periods=1)
+    def wnd(w: int):
+        if w not in _wcache:
+            _wcache[w] = (np.maximum(rows - w, 0), pos >= w)
+        return _wcache[w]
 
-    out["tlen_r20_mean"] = roll("tlen", 20).mean().to_numpy()
-    out["tlen_r20_std"] = roll("tlen", 20).std(ddof=0).to_numpy()
-    out["tlen_r20_min"] = roll("tlen", 20).min().to_numpy()
-    out["tlen_r20_max"] = roll("tlen", 20).max().to_numpy()
-    out["tlen_asst_r20_mean"] = roll("masked", 20).mean().to_numpy()
-    out["tlen_asst_r20_std"] = roll("masked", 20).std(ddof=0).to_numpy()
-    ms = roll("sin", 20).mean().to_numpy()
-    mc = roll("cos", 20).mean().to_numpy()
+    def wsum(nm: str, w: int) -> np.ndarray:
+        j = jix[nm]
+        idx, full = wnd(w)
+        return C[:, j] - np.where(full, C[idx, j], offs[:, j])
+
+    cntc: dict[int, np.ndarray] = {}
+
+    def cnt(w: int) -> np.ndarray:
+        if w not in cntc:
+            cntc[w] = np.minimum(pos + 1, w).astype(np.float64)
+        return cntc[w]
+
+    def _var_floor(v: np.ndarray, e2: np.ndarray) -> np.ndarray:
+        # E[x²]−m² cancellation noise is ~eps·E[x²]; a variance below
+        # that floor is indistinguishable from 0 (a constant window) —
+        # zero it so sqrt doesn't inflate noise to ~1e-6 (the n=1 case)
+        return np.where(v < 1e-11 * np.abs(e2), 0.0, v)
+
+    def mean_std(nm1: str, nm2: str, w: int, c: np.ndarray | None = None):
+        c = cnt(w) if c is None else c
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m = np.where(c > 0, wsum(nm1, w) / c, np.nan)
+            e2 = wsum(nm2, w) / c
+            v = np.where(c > 0, _var_floor(e2 - m * m, e2), np.nan)
+        return m, np.sqrt(np.clip(v, 0.0, None))
+
+    m, s = mean_std("t1", "t2", 20)
+    out["tlen_r20_mean"], out["tlen_r20_std"] = m, s
+    m, s = mean_std("m1", "m2", 20, c=wsum("mc", 20))
+    out["tlen_asst_r20_mean"], out["tlen_asst_r20_std"] = m, s
+    ms = wsum("sin", 20) / cnt(20)
+    mc = wsum("cos", 20) / cnt(20)
     out["tod_circmean_r20"] = (np.degrees(np.arctan2(ms, mc)) + 360.0) % 360.0
     for w in (4, 16, 64):
-        out[f"tlen_bank_w{w}_mean"] = roll("tlen", w).mean().to_numpy()
-        out[f"tlen_bank_w{w}_std"] = roll("tlen", w).std(ddof=0).to_numpy()
+        m, s = mean_std("t1", "t2", w)
+        out[f"tlen_bank_w{w}_mean"], out[f"tlen_bank_w{w}_std"] = m, s
     for w in GABOR_WINDOWS:
+        c = cnt(w)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mi, mq = wsum(f"a1_{w}", w) / c, wsum(f"b1_{w}", w) / c
+            eaa, eab, ebb = (
+                wsum(f"aa_{w}", w) / c,
+                wsum(f"ab_{w}", w) / c,
+                wsum(f"bb_{w}", w) / c,
+            )
         for p in range(GABOR_PHASES):
-            out[f"tlen_gabor_w{w}_p{p}_mean"] = (
-                roll(f"g{w}_{p}", w).mean().to_numpy()
+            phi = p * 3.141592653589793 / GABOR_PHASES
+            cp, sp = np.cos(phi), np.sin(phi)
+            m = cp * mi - sp * mq
+            e2 = cp * cp * eaa - 2 * cp * sp * eab + sp * sp * ebb
+            out[f"tlen_gabor_w{w}_p{p}_mean"] = m
+            out[f"tlen_gabor_w{w}_p{p}_std"] = np.sqrt(
+                np.clip(_var_floor(e2 - m * m, e2), 0.0, None)
             )
-            out[f"tlen_gabor_w{w}_p{p}_std"] = (
-                roll(f"g{w}_{p}", w).std(ddof=0).to_numpy()
-            )
-    return pd.DataFrame(out, index=pdf.index)
+
+    # min/max: no cumsum identity — pandas' O(n) monotonic deque
+    gt = pd.Series(tlen).groupby(seg, sort=False).rolling(20, min_periods=1)
+    out["tlen_r20_min"] = gt.min().to_numpy()
+    out["tlen_r20_max"] = gt.max().to_numpy()
+
+    # single-block assembly (no per-column consolidation)
+    float_names = [nm for nm in out if out[nm].dtype.kind == "f"]
+    fblock = np.empty((len(float_names), n))
+    for i, nm in enumerate(float_names):
+        fblock[i] = out[nm]
+    res = pd.DataFrame(
+        fblock.T, columns=float_names, index=pdf.index, copy=False
+    )
+    res["session_id"] = out["session_id"]
+    for k in (1, 2, 3):
+        res[f"role_lag{k}"] = out[f"role_lag{k}"]
+    return res
 
 
 def _asof_arrays(
@@ -198,8 +278,8 @@ def build_features_fused(
     ``build_features(df, ["all"], side_profile, side_config)``.
 
     Side tables within ``max_broadcast_side_rows`` ride into the kernel
-    as driver-built broadcast arrays (a Python dict of numpy arrays —
-    2M rows ≈ low-hundreds of MB on the driver, hence the guard). A
+    as driver-built broadcast arrays (four flat numpy arrays sorted by
+    (conv, ts) — 2M rows ≈ ~100 MB on the driver, hence the guard). A
     LARGER side table automatically falls back to the composable
     union-window as-of applied AFTER the fused pass: the features
     themselves still take exactly one narrow shuffle; only the as-of
@@ -207,34 +287,47 @@ def build_features_fused(
     cheap ``count()`` BEFORE any driver materialization."""
     spark = df.sparkSession
 
+    def _too_big(side: DataFrame) -> bool:
+        # limit(n+1).count() early-exits the scan after n+1 rows — a
+        # full count() of a big side table costs a whole job just to
+        # learn "too big"
+        return (
+            side.limit(max_broadcast_side_rows + 1).count()
+            > max_broadcast_side_rows
+        )
+
     fallback_profile = None
-    if side_profile is not None and side_profile.count() > max_broadcast_side_rows:
+    if side_profile is not None and _too_big(side_profile):
         fallback_profile = side_profile
         side_profile = None
     fallback_config = None
-    if side_config is not None and side_config.count() > max_broadcast_side_rows:
+    if side_config is not None and _too_big(side_config):
         fallback_config = side_config
         side_config = None
 
-    profile_by_conv = None
+    profile_arrays = None
     if side_profile is not None:
-        ppd = side_profile.toPandas()
-        ppd = ppd.sort_values(["effective_ts", "plan"], kind="mergesort")
-        rts_all = ppd["effective_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        profile_by_conv = {}
-        for cid, idxs in ppd.groupby("conv_id", sort=False).indices.items():
-            profile_by_conv[cid] = (
-                rts_all[idxs],
-                ppd["plan"].to_numpy()[idxs],
-                ppd["score"].to_numpy()[idxs],
-            )
+        # flat sorted arrays + searchsorted slicing, NOT a per-conv dict:
+        # a dict of 10^5+ conversations costs seconds of driver-side
+        # Python to build and pickles as 10^5 objects; four numpy arrays
+        # build in ~ms and broadcast as buffers. Sort by (conv, ts, plan)
+        # keeps within-conv ts order and the greatest-plan tie-break.
+        ppd = side_profile.toPandas().sort_values(
+            ["conv_id", "effective_ts", "plan"], kind="mergesort"
+        )
+        profile_arrays = (
+            ppd["conv_id"].to_numpy(dtype="U"),
+            ppd["effective_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64),
+            ppd["plan"].to_numpy(),
+            ppd["score"].to_numpy(dtype=np.float64),
+        )
     cfg_arrays = None
     if side_config is not None:
         cpd = side_config.toPandas()
         cfg_arrays = _asof_arrays(
             cpd, "effective_ts", (), [c for c in cpd.columns if c != "effective_ts"]
         )
-    bc = spark.sparkContext.broadcast((profile_by_conv, cfg_arrays))
+    bc = spark.sparkContext.broadcast((profile_arrays, cfg_arrays))
 
     kcols = feature_names(("cooc", "runlen", "shape"), lags, levels)
     fields = (
@@ -293,9 +386,15 @@ def build_features_fused(
             chunk, ("cooc", "runlen", "shape"), lags, levels, passthrough=True
         )
         win = _window_features_pdf(base, gap_minutes)
-        out = pd.concat([base, win], axis=1)
+        # column-wise adoption instead of pd.concat(axis=1): concat
+        # consolidates the two frames' float blocks (a full-width
+        # memcpy); per-column assignment just appends block refs
+        out = base
+        for c in win.columns:
+            out[c] = win[c].to_numpy()
         ts_us = out["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
         if prof is not None:
+            pconv, prts, ppl, psc = prof
             plan = np.empty(len(out), dtype=object)
             score = np.full(len(out), np.nan)
             conv_arr = out["conv_id"].to_numpy()
@@ -304,11 +403,13 @@ def build_features_fused(
             ).tolist() + [len(out)]
             for i in range(len(starts) - 1):
                 lo, hi = starts[i], starts[i + 1]
-                entry = prof.get(conv_arr[lo])
-                if entry is None:
+                cid = conv_arr[lo]
+                lo_s = np.searchsorted(pconv, cid, side="left")
+                hi_s = np.searchsorted(pconv, cid, side="right")
+                if lo_s == hi_s:
                     plan[lo:hi] = None
                     continue
-                rts, pl, sc = entry
+                rts, pl, sc = prts[lo_s:hi_s], ppl[lo_s:hi_s], psc[lo_s:hi_s]
                 idx = np.searchsorted(rts, ts_us[lo:hi], side="right") - 1
                 ok = idx >= 0
                 safe = np.clip(idx, 0, None)

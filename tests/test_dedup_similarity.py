@@ -303,3 +303,37 @@ def test_cosine_all_pairs_exact_vs_numpy(spark):
     assert set(got_map) == set(want)
     for k, s in want.items():
         assert abs(got_map[k] - s) < 1e-6
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF (coarse quantize → probe → exact re-rank) finds the true
+    top-1 for every query when probing enough lists, and candidates are
+    restricted to the probed cells."""
+    from nuclei_feature_extraction_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(33)
+    # 10 well-separated cluster centers, 40 points each
+    centers = rng.standard_normal((10, 16)) * 4
+    vecs = np.repeat(centers, 40, axis=0) + rng.standard_normal((400, 16)) * 0.3
+    pdf = pd.DataFrame(
+        {"vec_id": range(400), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": [0, 1, 2], "embedding": [list(map(float, vecs[i])) for i in (0, 100, 200)]}
+        )
+    )
+    got = ivf_topk(df, queries, k=3, n_centroids=16, nprobe=8).toPandas()
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qi, src in ((0, 0), (1, 100), (2, 200)):
+        sub = got[got.query_id == qi].sort_values("rank")
+        sims = v @ v[src]
+        true_top = int(np.argsort(-sims, kind="stable")[0])
+        assert sub.iloc[0]["vec_id"] == true_top == src  # self-hit
+        assert abs(sub.iloc[0]["sim"] - 1.0) < 1e-6
+        # all returned sims within the probed lists are exact
+        for _, r in sub.iterrows():
+            assert abs(r["sim"] - round(sims[int(r.vec_id)], 6)) < 1e-6

@@ -35,7 +35,7 @@ d = fixtures_dir(scale)
 n = spark.read.parquet(f"{{d}}/transcripts.parquet").count()
 _force(transcript_pipeline(spark, d).limit(20_000))  # warmup
 times = []
-for _ in range(2):
+for _ in range(4):
     t0 = time.perf_counter()
     _force(transcript_pipeline(spark, d))
     times.append(time.perf_counter() - t0)
