@@ -53,18 +53,20 @@ def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Append ``dup_group_size`` and ``is_canonical`` (min id per exact
-    text group survives). One shuffle on the composite hash key — never
-    on the full text bytes (100 TB: the shuffle key is 20 bytes/row)."""
+    text group survives). ONE shuffle on the composite hash key — never
+    on the full text bytes (100 TB: the shuffle key is 20 bytes/row) —
+    via two whole-partition window aggregates over the same exchange
+    (the groupBy+join formulation costs a second shuffle plus a join
+    just to re-attach group stats to their own rows)."""
+    from pyspark.sql import Window
+
     keys = _text_key(text_col)
     keyed = df.select("*", *keys)
-    grouped = keyed.groupBy("__th1", "__th2", "__tl").agg(
-        F.count(F.lit(1)).alias("dup_group_size"),
-        F.min(id_col).alias("__canon"),
-    )
+    w = Window.partitionBy("__th1", "__th2", "__tl")
     return (
-        keyed.join(grouped, ["__th1", "__th2", "__tl"])
-        .withColumn("is_canonical", F.col(id_col) == F.col("__canon"))
-        .drop("__th1", "__th2", "__tl", "__canon")
+        keyed.withColumn("dup_group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(w))
+        .drop("__th1", "__th2", "__tl")
     )
 
 
