@@ -162,6 +162,29 @@ def q_asof_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "cfg_value")
 
 
+def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third physical as-of strategy (cogroup + merge_asof) against the
+    SAME DuckDB ASOF oracle as q_asof_error — all three plans must
+    agree with the ground truth independently."""
+    from nuclei_feature_extraction_spark.operators.asof import (
+        asof_join_cogrouped,
+    )
+
+    ev = _events(spark, sf_dir)
+    side = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("effective_ts"),
+        F.col("value").alias("last_error_value"),
+    )
+    return asof_join_cogrouped(
+        ev.select("event_id", "user_id", "ts"),
+        side,
+        on="user_id",
+        left_ts="ts",
+        right_ts="effective_ts",
+    ).select("event_id", "last_error_value")
+
+
 def q_masked_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     click = F.when(F.col("event_type") == "click", F.col("value"))
@@ -375,6 +398,24 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, list(qvec), k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in its EXHAUSTIVE configuration (nprobe == n_centroids):
+    every inverted list is probed, so the result must equal the exact
+    brute-force top-k — an oracle for the full IVF machinery
+    (assignment, probing, re-rank) rather than for a recall guess."""
+    from nuclei_feature_extraction_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=8
+    ).select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "sim"
+    )
+
+
 
 
 def _nan_to_null(c):
@@ -575,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_range": q_rolling_range,
         "session_stats": q_session_stats,
         "asof_error": q_asof_error,
+        "asof_cogrouped": q_asof_cogrouped,
         "asof_global": q_asof_global,
         "masked_user_stats": q_masked_user_stats,
         "circular_hour": q_circular_hour,
@@ -593,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "prefix_cooc": q_prefix_cooc,
         "prefix_runlen": q_prefix_runlen,
         "minhash_pairs": q_minhash_pairs,
@@ -684,6 +727,12 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id
         """,
         "asof_error": """
+            SELECT l.event_id, r.value AS last_error_value
+            FROM events l ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_cogrouped": """
             SELECT l.event_id, r.value AS last_error_value
             FROM events l ASOF LEFT JOIN
                  (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
@@ -935,6 +984,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 6) AS sim
             FROM embeddings ORDER BY sim DESC, vec_id LIMIT 5
+        """,
+        "ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.v, q.qv) AS sim_raw
+              FROM e CROSS JOIN q
+            ), r AS (
+              SELECT query_id, vec_id, sim_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim_raw DESC, vec_id) AS rank
+              FROM s
+            )
+            SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
+                   round(sim_raw, 6) AS sim
+            FROM r WHERE rank <= 5
         """,
         # all three emit the exact-verified pair set, so one all-pairs
         # ground truth oracles three distinct Spark plans (minhash-LSH
