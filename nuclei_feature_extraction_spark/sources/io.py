@@ -5,8 +5,12 @@
   corrupt rows for json/csv, explicit StructType everywhere (never
   inferSchema in the engine path).
 - ``write_features``: extension-dispatched sink with an overwrite guard
-  (main.rs:164-189, args.rs:147-166): csv / parquet|pqt / json; Arrow
-  IPC (S10) needs no sink — Arrow is the engine's UDF wire format.
+  (main.rs:164-189, args.rs:147-166): csv / parquet|pqt / json, plus a
+  REAL Arrow IPC sink (S10, main.rs:177-180): Spark has no built-in IPC
+  writer, so ``.arrow``/``.ipc`` paths become a directory of one IPC
+  stream file per partition written executor-side through the engine's
+  existing Arrow batches (the distributed analog of the reference's
+  single-file feather dump).
 - Iceberg is the design-point catalog (bucket(conv_id) + days(ts)
   partitioning); the runtime jar is absent in this sandbox, so
   ``write_iceberg_style`` emulates the layout with hash-bucketed
@@ -58,16 +62,82 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     raise ValueError(f"unsupported transcript source extension {ext!r}")
 
 
+def _write_arrow_ipc(df: DataFrame, path: str, overwrite: bool) -> None:
+    """Distributed Arrow IPC sink: one ``part-{pid}.arrow`` stream file
+    per partition, written executor-side from the same Arrow batches
+    mapInPandas already produces — no driver collect, no extra shuffle.
+    Read back with ``pyarrow.ipc.open_stream`` per part file."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if os.path.exists(path):
+        if not overwrite:
+            raise ValueError(f"sink path already exists: {path}")
+        import shutil
+
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    arrow_schema_json = df.schema.json()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        from pyspark import TaskContext
+        from pyspark.sql.types import StructType, _parse_datatype_json_string
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        spark_schema = _parse_datatype_json_string(arrow_schema_json)
+        assert isinstance(spark_schema, StructType)
+        pa_schema = to_arrow_schema(spark_schema)
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}.arrow")
+        n = 0
+        writer = None
+        try:
+            tz_cols = [
+                f.name
+                for f in pa_schema
+                if pa.types.is_timestamp(f.type) and f.type.tz is not None
+            ]
+            for pdf in batches:
+                if writer is None:
+                    sink = pa.OSFile(out, "wb")
+                    writer = pa.ipc.new_stream(sink, pa_schema)
+                for c in tz_cols:
+                    # Arrow batches arrive UTC-naive (session tz is UTC);
+                    # the arrow schema is tz-aware — localize, don't shift
+                    pdf[c] = pdf[c].dt.tz_localize("UTC")
+                writer.write_batch(
+                    pa.RecordBatch.from_pandas(
+                        pdf, schema=pa_schema, preserve_index=False
+                    )
+                )
+                n += len(pdf)
+        finally:
+            if writer is not None:
+                writer.close()
+                sink.close()
+        yield pd.DataFrame({"rows": [n]})
+
+    df.mapInPandas(gen, "rows long").agg(F.sum("rows")).collect()
+
+
 def write_features(
     df: DataFrame, path: str, overwrite: bool = False, partition_by: list[str] | None = None
 ) -> None:
     """Extension-dispatched sink; refuses to clobber without
     ``overwrite=True`` (reference --overwrite guard, args.rs:147-166)."""
     ext = os.path.splitext(path)[1].lower()
+    if ext in (".arrow", ".ipc"):
+        if partition_by:
+            raise ValueError("Arrow IPC sink does not support partition_by")
+        _write_arrow_ipc(df, path, overwrite)
+        return
     fmt = _SINKS.get(ext)
     if fmt is None:
         raise ValueError(
-            f"unsupported sink extension {ext!r}; known: {sorted(_SINKS)}"
+            f"unsupported sink extension {ext!r}; known: "
+            f"{sorted(_SINKS) + ['.arrow', '.ipc']}"
         )
     writer = df.write.format(fmt).mode("overwrite" if overwrite else "errorifexists")
     if fmt == "csv":

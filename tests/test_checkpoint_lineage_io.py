@@ -240,3 +240,47 @@ def test_run_pipeline_rejects_mismatched_n_buckets(spark, tiny_df, tmp_path):
     w2 = CheckpointedWriter(out, n_buckets=16)
     with pytest.raises(ValueError, match="n_buckets"):
         w2.run_pipeline(tiny_df, lambda d: d)
+
+
+def test_arrow_ipc_sink_roundtrip(spark, tiny_df, tmp_path):
+    """S10: distributed Arrow IPC sink — one stream file per partition,
+    lossless roundtrip via pyarrow, overwrite guard honored."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from nuclei_feature_extraction_spark.sources.io import write_features
+
+    p = str(tmp_path / "feat.arrow")
+    df = tiny_df.repartition(3)
+    write_features(df, p)
+    parts = sorted(os.listdir(p))
+    assert parts and all(f.endswith(".arrow") for f in parts)
+    frames = []
+    for f in parts:
+        with pa.ipc.open_stream(os.path.join(p, f)) as r:
+            frames.append(r.read_all().to_pandas())
+    got = (
+        pd.concat(frames, ignore_index=True)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        tiny_df.toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["text"] == want["text"]).all()  # byte equality
+    got_ts = got["ts"].dt.tz_convert("UTC").dt.tz_localize(None)
+    assert (
+        got_ts.astype("datetime64[us]").to_numpy()
+        == want["ts"].astype("datetime64[us]").to_numpy()
+    ).all()
+    with pytest.raises(ValueError, match="already exists"):
+        write_features(df, p)
+    write_features(tiny_df.limit(7), p, overwrite=True)
+    total = 0
+    for f in sorted(os.listdir(p)):
+        with pa.ipc.open_stream(os.path.join(p, f)) as r:
+            total += r.read_all().num_rows
+    assert total == 7
