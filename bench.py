@@ -95,7 +95,7 @@ def main() -> None:
     ).count()
     _force(transcript_pipeline(spark, fixture_dir).limit(20_000))
     walls = []
-    for _ in range(2):
+    for _ in range(3):  # best-of-3: host interference windows last minutes
         pipe = transcript_pipeline(spark, fixture_dir)
         t0 = time.perf_counter()
         _force(pipe)
