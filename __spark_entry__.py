@@ -282,10 +282,24 @@ def q_run_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_run = runs.groupBy("user_id", "run_id").agg(
         F.count(F.lit(1)).alias("run_len")
     )
-    return per_run.groupBy("user_id").agg(
+    # RLN (Σ count(length=j)² / R) and LRE (Σ len² / R): integer
+    # numerators, so the cross-engine repr-hash is summation-order-safe
+    rln_num = (
+        per_run.groupBy("user_id", "run_len")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("c") * F.col("c")).cast("double").alias("rln_num"))
+    )
+    base = per_run.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_runs"),
         F.round(F.avg("run_len"), 6).alias("mean_run_len"),
         F.max("run_len").alias("max_run_len"),
+        F.sum(F.col("run_len") * F.col("run_len")).cast("double").alias("lre_num"),
+    )
+    return base.join(rln_num, "user_id").select(
+        "user_id", "n_runs", "mean_run_len", "max_run_len",
+        F.round(F.col("rln_num") / F.col("n_runs"), 6).alias("rln"),
+        F.round(F.col("lre_num") / F.col("n_runs"), 6).alias("lre"),
     )
 
 
@@ -492,12 +506,21 @@ def q_prefix_runlen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runlen_lre_tlen4": "rl_lre",
         "runlen_gln_tlen4": "rl_gln",
         "runlen_hgre_tlen4": "rl_hgre",
+        # round-3 GLRLM completion — only stats whose accumulators are
+        # exact in float64 regardless of summation order (integers /
+        # quarter-integers) are exposed to the cross-engine repr-hash;
+        # the float-ordered emphases (sre/srlge/…) are allclose-pinned
+        # against the numpy oracle in tests/test_kernels.py instead.
+        "runlen_rlvar_tlen4": "rl_rlvar",
+        "runlen_rln_tlen4": "rl_rln",
+        "runlen_lrhge_tlen4": "rl_lrhge",
+        "runlen_lrege_tlen4": "rl_lrege",
     }
     return keyed.select(
         "event_id",
         F.col("runlen_n_runs_tlen4").cast("long").alias("rl_n_runs"),
         *[
-            F.round(_nan_to_null(src), 6).alias(dst)
+            (F.round(_nan_to_null(src), 6) + F.lit(0.0)).alias(dst)
             for src, dst in sel.items()
             if dst != "rl_n_runs"
         ],
@@ -824,11 +847,22 @@ def oracle_sql() -> dict[str, str]:
             ), runs AS (
               SELECT user_id, run_id, count(*) AS run_len
               FROM r GROUP BY user_id, run_id
+            ), lc AS (
+              SELECT user_id, run_len, count(*) AS c
+              FROM runs GROUP BY user_id, run_len
+            ), rlnn AS (
+              SELECT user_id, SUM(c*c)*1.0 AS rln_num FROM lc GROUP BY user_id
+            ), base AS (
+              SELECT user_id, count(*) AS n_runs,
+                     round(avg(run_len), 6) AS mean_run_len,
+                     max(run_len) AS max_run_len,
+                     SUM(run_len*run_len)*1.0 AS lre_num
+              FROM runs GROUP BY user_id
             )
-            SELECT user_id, count(*) AS n_runs,
-                   round(avg(run_len), 6) AS mean_run_len,
-                   max(run_len) AS max_run_len
-            FROM runs GROUP BY user_id
+            SELECT base.user_id, n_runs, mean_run_len, max_run_len,
+                   round(rln_num / n_runs, 6) AS rln,
+                   round(lre_num / n_runs, 6) AS lre
+            FROM base JOIN rlnn ON rlnn.user_id = base.user_id
         """,
         "transition_counts": f"""
             SELECT prev_type, event_type, count(*) AS n
@@ -964,20 +998,52 @@ def oracle_sql() -> dict[str, str]:
             ), r3 AS (
               SELECT *, rn - run_start_rn + 1 AS len FROM r2
             ), r4 AS (
-              SELECT event_id, rn, r,
+              SELECT event_id, user_id, rn, r,
                 SUM(2.0*len - 1.0) OVER wf AS lre_c,
                 SUM(CASE WHEN chg = 1 THEN 2.0*starts_lv - 1.0 ELSE 0.0 END) OVER wf AS gln_c,
-                SUM(CASE WHEN chg = 1 THEN (lev+1.0)*(lev+1.0) ELSE 0.0 END) OVER wf AS hgre_c
+                SUM(CASE WHEN chg = 1 THEN (lev+1.0)*(lev+1.0) ELSE 0.0 END) OVER wf AS hgre_c,
+                -- long-run × {high, extreme} gray emphases: per-row delta
+                -- w(lev)·(2·len − 1); integer / quarter-integer terms, so
+                -- DuckDB's segment-tree summation order is irrelevant
+                SUM((lev+1.0)*(lev+1.0)*(2.0*len - 1.0)) OVER wf AS lrhge_c,
+                SUM((abs(lev - 1.5)+1.0)*(abs(lev - 1.5)+1.0)*(2.0*len - 1.0)) OVER wf AS lrege_c
               FROM r3 WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            -- RLN needs counts of runs AT EACH EXACT LENGTH, which shift as
+            -- the open run grows: oracle-side we just recompute runs over
+            -- every prefix (quadratic — fine at sf0.01)
+            pq AS (
+              SELECT a.event_id AS anchor_id, b.rn AS brn, b.lev AS lev
+              FROM r3 a JOIN r3 b ON b.user_id = a.user_id AND b.rn <= a.rn
+            ), pq1 AS (
+              SELECT anchor_id, brn, lev,
+                CASE WHEN lag(lev) OVER w IS NULL OR lag(lev) OVER w <> lev
+                     THEN 1 ELSE 0 END AS chg
+              FROM pq WINDOW w AS (PARTITION BY anchor_id ORDER BY brn)
+            ), pq2 AS (
+              SELECT anchor_id, brn,
+                SUM(chg) OVER (PARTITION BY anchor_id ORDER BY brn
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+              FROM pq1
+            ), pq3 AS (
+              SELECT anchor_id, run_id, COUNT(*) AS len FROM pq2 GROUP BY anchor_id, run_id
+            ), pq4 AS (
+              SELECT anchor_id, len, COUNT(*) AS c FROM pq3 GROUP BY anchor_id, len
+            ), rlnq AS (
+              SELECT anchor_id, SUM(c*c)*1.0 AS rln_num FROM pq4 GROUP BY anchor_id
             )
-            SELECT event_id, CAST(r AS BIGINT) AS rl_n_runs,
+            SELECT r4.event_id, CAST(r AS BIGINT) AS rl_n_runs,
               round(r*1.0/rn, 6) AS rl_rp,
               round(rn*1.0/r, 6) AS rl_mean_len,
               round(lre_c/r, 6) AS rl_lre,
               round(gln_c/r, 6) AS rl_gln,
-              round(hgre_c/r, 6) AS rl_hgre
-            FROM r4
+              round(hgre_c/r, 6) AS rl_hgre,
+              round(lre_c/r - (rn*1.0/r)*(rn*1.0/r), 6) + 0.0 AS rl_rlvar,
+              round(rlnq.rln_num/r, 6) AS rl_rln,
+              round(lrhge_c/r, 6) AS rl_lrhge,
+              round(lrege_c/r, 6) AS rl_lrege
+            FROM r4 JOIN rlnq ON rlnq.anchor_id = r4.event_id
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)

@@ -50,7 +50,13 @@ from nuclei_feature_extraction_spark.functions.oracle import (
 )
 
 ROLE_IDX = {"user": 0, "assistant": 1, "tool": 2, "system": 3}
-RUNLEN_SIGNALS = ("role", "has_tool", "tlen4")
+# Four ordered signals mirror the reference's four GLRLM directions
+# (texture.rs:175 DIRECTIONS): role stream, tool-use stream, discretized
+# text-length stream, and conversation-relative position buckets (posb =
+# min(pos // 4, 3) — depends only on rows ≤ t, so zero temporal leakage).
+RUNLEN_SIGNALS = ("role", "has_tool", "tlen4", "posb")
+# G (gray-level count) per signal — parameterizes mid/extreme weights
+RUNLEN_N_LEVELS = {"role": 5, "has_tool": 2, "tlen4": 4, "posb": 4}
 DEFAULT_LAGS = (1, 2)
 DEFAULT_LEVELS = (4, 8)
 
@@ -90,6 +96,19 @@ def _cumcount(conv: np.ndarray, key: np.ndarray) -> np.ndarray:
     pandas cumcount — C speed across all conversations at once)."""
     df = pd.DataFrame({"c": conv, "k": key})
     return df.groupby(["c", "k"], sort=False).cumcount().to_numpy() + 1
+
+
+def _net_count_before(
+    conv: np.ndarray, key: np.ndarray, sign: np.ndarray
+) -> np.ndarray:
+    """Net (+1/−1) running count of (conv, key) just BEFORE each event —
+    the decrement-capable twin of ``_cumcount`` needed when a key's
+    multiplicity can shrink (a run moving from length l−1 to l must
+    decrement the l−1 length-count). Vectorized groupby-cumsum minus the
+    event's own sign; sign-0 rows are inert placeholders."""
+    df = pd.DataFrame({"c": conv, "k": key, "s": sign})
+    cs = df.groupby(["c", "k"], sort=False)["s"].cumsum().to_numpy()
+    return (cs - sign).astype(np.float64)
 
 
 def cooc_prefix(
@@ -177,9 +196,21 @@ def cooc_prefix(
 
 
 def runlen_prefix(
-    conv: np.ndarray, first: np.ndarray, x: np.ndarray
+    conv: np.ndarray, first: np.ndarray, x: np.ndarray, n_levels: int = 4
 ) -> dict[str, np.ndarray]:
-    """Vectorized prefix run-length stats of integer stream x."""
+    """Vectorized prefix run-length stats of integer stream x — the full
+    17-stat GLRLM family of the reference (texture.rs:244-301), all O(n)
+    prefix-incremental.
+
+    Joint short/long × {low, high, mid, extreme} gray-level emphases are
+    Σ_runs w(level)·g(length) / R with g ∈ {1/l², l²}: a run growing
+    from l−1 to l contributes Δ = w·(g(l) − g(l−1)); a fresh run w·g(1).
+    RLN (Σ_j count(length = j)² / R) needs a DECREMENT-capable count —
+    growing a run moves it between length buckets — handled by a signed
+    interleaved event stream (dec l−1, inc l) where each event of sign s
+    on a bucket with prior net count c shifts Σc² by s·(2c + s).
+    ``n_levels`` (G) parameterizes the mid/extreme distance weights
+    d = |x − (G−1)/2| (see oracle.RUNLEN_STATS provenance note)."""
     n = len(x)
     prev = x[np.maximum(np.arange(n) - 1, 0)]
     chg = first | (x != prev)
@@ -189,9 +220,10 @@ def runlen_prefix(
     r = _seg_cumsum(chg.astype(np.float64), first)
 
     with np.errstate(divide="ignore", invalid="ignore"):
-        sre_d = np.where(pos > 0, 1.0 / length**2 - 1.0 / (length - 1) ** 2, 1.0)
-        sre = _seg_cumsum(sre_d, first) / r
-        lre_sum = _seg_cumsum(2 * length - 1, first)
+        short_d = np.where(pos > 0, 1.0 / length**2 - 1.0 / (length - 1) ** 2, 1.0)
+        long_d = 2 * length - 1  # l² − (l−1)² (and g(1) = 1 at pos 0)
+        sre = _seg_cumsum(short_d, first) / r
+        lre_sum = _seg_cumsum(long_d, first)
         lre = lre_sum / r
         mean_len = np1 / r
         rlvar = lre - mean_len**2
@@ -199,12 +231,43 @@ def runlen_prefix(
         rv = _cumcount(conv, startkey).astype(np.float64)
         gln = _seg_cumsum(np.where(chg, 2 * rv - 1, 0.0), first) / r
         xl = x.astype(np.float64)
-        lgre = _seg_cumsum(np.where(chg, 1.0 / (xl + 1) ** 2, 0.0), first) / r
-        hgre = _seg_cumsum(np.where(chg, (xl + 1) ** 2, 0.0), first) / r
+        low = 1.0 / (xl + 1) ** 2
+        high = (xl + 1) ** 2
+        dc = np.abs(xl - (n_levels - 1) / 2.0)
+        midw = 1.0 / (dc + 1) ** 2
+        extw = (dc + 1) ** 2
+        lgre = _seg_cumsum(np.where(chg, low, 0.0), first) / r
+        hgre = _seg_cumsum(np.where(chg, high, 0.0), first) / r
+
+        def _emph(w: np.ndarray, g_d: np.ndarray) -> np.ndarray:
+            return _seg_cumsum(w * g_d, first) / r
+
+        srlge, srhge = _emph(low, short_d), _emph(high, short_d)
+        srmge, srege = _emph(midw, short_d), _emph(extw, short_d)
+        lrlge, lrhge = _emph(low, long_d), _emph(high, long_d)
+        lrmge, lrege = _emph(midw, long_d), _emph(extw, long_d)
+
+        # RLN via the signed event stream: slot 0 decrements the l−1
+        # length bucket on grow rows, slot 1 increments the current l
+        ilen = pos + 1
+        ev_conv = np.repeat(conv, 2)
+        ev_key = np.empty(2 * n, dtype=np.int64)
+        ev_sign = np.empty(2 * n, dtype=np.int64)
+        grow = pos > 0
+        ev_key[0::2] = np.where(grow, ilen - 1, -1)
+        ev_sign[0::2] = np.where(grow, -1, 0)
+        ev_key[1::2] = ilen
+        ev_sign[1::2] = 1
+        net = _net_count_before(ev_conv, ev_key, ev_sign)
+        dsq = np.where(ev_sign != 0, 2.0 * ev_sign * net + 1.0, 0.0)
+        rln = _seg_cumsum(dsq[0::2] + dsq[1::2], first) / r
 
     return {
         "n_runs": r, "rp": r / np1, "mean_len": mean_len, "sre": sre,
         "lre": lre, "rlvar": rlvar, "gln": gln, "lgre": lgre, "hgre": hgre,
+        "rln": rln, "srlge": srlge, "srhge": srhge, "srmge": srmge,
+        "srege": srege, "lrlge": lrlge, "lrhge": lrhge, "lrmge": lrmge,
+        "lrege": lrege,
     }
 
 
@@ -374,8 +437,12 @@ def compute_features_pdf(
         )
         has_tool = pdf["tool"].notna().to_numpy().astype(np.int64)
         tlen4 = discretize_log(tlen, 4)
-        for sig, arr in (("role", role), ("has_tool", has_tool), ("tlen4", tlen4)):
-            stats = runlen_prefix(conv, first, arr)
+        posb = np.minimum(_seg_pos(first) // 4, 3).astype(np.int64)
+        for sig, arr in (
+            ("role", role), ("has_tool", has_tool),
+            ("tlen4", tlen4), ("posb", posb),
+        ):
+            stats = runlen_prefix(conv, first, arr, RUNLEN_N_LEVELS[sig])
             for s, v in stats.items():
                 block[slot[f"runlen_{s}_{sig}"]] = v
     if "shape" in families:

@@ -31,6 +31,18 @@ COOC_STATS = [
 ]
 RUNLEN_STATS = [
     "n_runs", "rp", "mean_len", "sre", "lre", "rlvar", "gln", "lgre", "hgre",
+    # round-3 completion to the reference's 17 GLRLM stats
+    # (texture.rs:244-301): run-length nonuniformity + the joint
+    # short/long × {low, high, mid, extreme} gray-level emphases.
+    # Joint-emphasis weights follow the standard radiomics conventions
+    # (Galloway 1975; Chu et al. 1990; Dasarathy & Holder 1991):
+    # low(i) = 1/(i+1)², high(i) = (i+1)²; mid/extreme use the same
+    # forms on the distance from the gray-level center d = |i−(G−1)/2|
+    # (mid(i) = 1/(d+1)², extreme(i) = (d+1)²) — the tch-utils crate the
+    # reference links is not vendored, so the mid/extreme weights are
+    # our documented public-formula choice, tested against these oracles.
+    "rln", "srlge", "srhge", "srmge", "srege",
+    "lrlge", "lrhge", "lrmge", "lrege",
 ]
 SHAPE_STATS = [
     "pca_major", "pca_minor", "pca_angle", "pca_eccentricity",
@@ -110,11 +122,13 @@ def cooc_prefix_naive(x: np.ndarray, d: int, k: int) -> dict[str, np.ndarray]:
     return out
 
 
-def runlen_prefix_naive(x: np.ndarray) -> dict[str, np.ndarray]:
+def runlen_prefix_naive(x: np.ndarray, n_levels: int = 4) -> dict[str, np.ndarray]:
     """Run-length stats at every prefix; the open run counts at its
-    current (truncated) length — mirroring GLRLM's truncated edge runs."""
+    current (truncated) length — mirroring GLRLM's truncated edge runs.
+    ``n_levels`` (G) parameterizes the mid/extreme gray-level weights."""
     n = len(x)
     out = {s: np.full(n, np.nan) for s in RUNLEN_STATS}
+    ctr = (n_levels - 1) / 2.0
     for t in range(n):
         seq = x[: t + 1]
         runs: list[tuple[int, int]] = []  # (level, length)
@@ -139,6 +153,25 @@ def runlen_prefix_naive(x: np.ndarray) -> dict[str, np.ndarray]:
         out["gln"][t] = (counts.astype(float) ** 2).sum() / r
         out["lgre"][t] = (1.0 / (levs + 1) ** 2).sum() / r
         out["hgre"][t] = ((levs + 1) ** 2).sum() / r
+        # RLN = Σ_j (count of runs with length exactly j)² / R
+        _, lcounts = np.unique(lens, return_counts=True)
+        out["rln"][t] = (lcounts.astype(float) ** 2).sum() / r
+        # joint short/long × gray-level emphases
+        low = 1.0 / (levs + 1) ** 2
+        high = (levs + 1) ** 2
+        d = np.abs(levs - ctr)
+        midw = 1.0 / (d + 1) ** 2
+        extw = (d + 1) ** 2
+        short = 1.0 / lens**2
+        longw = lens**2
+        out["srlge"][t] = (short * low).sum() / r
+        out["srhge"][t] = (short * high).sum() / r
+        out["srmge"][t] = (short * midw).sum() / r
+        out["srege"][t] = (short * extw).sum() / r
+        out["lrlge"][t] = (longw * low).sum() / r
+        out["lrhge"][t] = (longw * high).sum() / r
+        out["lrmge"][t] = (longw * midw).sum() / r
+        out["lrege"][t] = (longw * extw).sum() / r
     return out
 
 

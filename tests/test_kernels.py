@@ -48,21 +48,42 @@ def test_cooc_constant_stream_nan_bail():
     np.testing.assert_allclose(got["asm"][5:], 1.0)
 
 
-def test_runlen_prefix_matches_naive():
+@pytest.mark.parametrize("n_levels", [2, 4, 5])
+def test_runlen_prefix_matches_naive(n_levels):
     lengths = [1, 3, 25, 80]
     conv, first = _codes_first(len(lengths), lengths)
-    x = RNG.integers(0, 4, len(conv))
-    got = kernels.runlen_prefix(conv, first, x)
+    x = RNG.integers(0, n_levels, len(conv))
+    got = kernels.runlen_prefix(conv, first, x, n_levels)
     start = 0
     for ln in lengths:
         seg = slice(start, start + ln)
-        want = oracle.runlen_prefix_naive(x[seg])
+        want = oracle.runlen_prefix_naive(x[seg], n_levels)
         for s in oracle.RUNLEN_STATS:
             np.testing.assert_allclose(
                 got[s][seg], want[s], rtol=1e-9, atol=1e-9, equal_nan=True,
                 err_msg=f"stat={s} seg@{start}",
             )
         start += ln
+
+
+def test_runlen_rln_exact_small_cases():
+    """RLN's signed decrement/increment bookkeeping on hand-checked
+    sequences (growing a run must MOVE it between length buckets)."""
+    cases = [
+        # (stream, expected Σ count(len)² at final prefix)
+        ([0, 0], 1.0),            # one run len 2
+        ([0, 1, 0], 9.0),         # three runs len 1 → 3²
+        ([0, 0, 1], 2.0),         # len {2, 1} → 1+1
+        ([0, 0, 1, 1, 2], 5.0),   # len {2, 2, 1} → 4+1
+    ]
+    for stream, want_num in cases:
+        x = np.array(stream, dtype=np.int64)
+        conv = np.zeros(len(x), dtype=np.int64)
+        first = np.zeros(len(x), dtype=bool)
+        first[0] = True
+        got = kernels.runlen_prefix(conv, first, x, 4)
+        r = got["n_runs"][-1]
+        np.testing.assert_allclose(got["rln"][-1], want_num / r, err_msg=str(stream))
 
 
 def test_shape_prefix_matches_naive():
