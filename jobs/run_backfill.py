@@ -100,13 +100,27 @@ def main(argv: list[str] | None = None) -> int:
         # bucket group — a single source Observation would only see the
         # first job's rows).
         writer = CheckpointedWriter(args.checkpoint_dir, n_buckets=args.n_buckets)
+        # snapshot what earlier runs already completed, so the reported
+        # rows / rows_per_sec describe THIS run only (a resumed run must
+        # not claim rows a previous process wrote, nor blend walls
+        # across crashes); the cumulative view is reported separately
+        before = set(writer.completed_buckets())
         manifest = writer.run_pipeline(tr, pipeline)
-        rows = sum(v["rows"] for v in manifest["completed"].values())
-        wall = round(sum(v["wall_seconds"] for v in manifest["completed"].values()), 3)
+        this_run = {
+            b: v for b, v in manifest["completed"].items() if int(b) not in before
+        }
+        rows = sum(v["rows"] for v in this_run.values())
+        wall = round(sum(v["wall_seconds"] for v in this_run.values()), 3)
+        cum_rows = sum(v["rows"] for v in manifest["completed"].values())
         summary = {
             "rows": rows,
             "wall_seconds": wall,
             "rows_per_sec": round(rows / wall, 3) if wall else None,
+            "buckets_this_run": len(this_run),
+            "cumulative": {
+                "rows": cum_rows,
+                "buckets": len(manifest["completed"]),
+            },
             "data_dir": os.path.join(args.checkpoint_dir, "data"),
             "manifest_version": manifest["version"],
         }

@@ -304,7 +304,25 @@ def simhash_near_dup_pairs(
     when 64/band_bits > max_hamming and no eligible bucket exceeds the
     cap; the bucket self-join carries ids only and is capped (short/empty
     docs all collapse into one simhash → one giant bucket otherwise);
-    simhash values are re-attached after pair distinct."""
+    simhash values are re-attached after pair distinct.
+
+    When the passed parameters void the pigeonhole guarantee
+    (64/band_bits ≤ max_hamming: a pair can differ in every band), the
+    operator emits a ``UserWarning`` — recall silently degrading to
+    probabilistic would violate the repo's no-silent-caps stance. Drop
+    band_bits (more, smaller bands) to restore the guarantee."""
+    n_bands = 64 // band_bits
+    if max_hamming > n_bands - 1:
+        import warnings
+
+        warnings.warn(
+            f"simhash recall is only probabilistic: max_hamming={max_hamming} "
+            f"exceeds the pigeonhole guarantee of {n_bands - 1} for "
+            f"band_bits={band_bits} ({n_bands} bands); use band_bits <= "
+            f"{64 // (max_hamming + 1)} for guaranteed recall",
+            UserWarning,
+            stacklevel=2,
+        )
     s = simhash(df, id_col, text_col, band_bits=band_bits).cache()
     buckets = simhash_buckets(s, id_col)
     pairs = _capped_bucket_pairs(buckets, id_col, max_bucket_size)
@@ -371,19 +389,22 @@ def ngram_jaccard_all_pairs(
     J = inter / (|A|+|B|−inter). The self-join is on the shingle key,
     so cost is Σ_s df(s)² — bounded in practice because a pair with
     J ≥ t shares ≥ t/(1+t)·max(|A|,|B|) shingles, and hot shingles can
-    be dropped with ``max_doc_freq`` (a df(s) > N shingle contributes
-    ≤ 1/|A| each to Jaccard of any pair, so dropping changes J by
-    < dropped/|A| — pass None for bit-exact results, as the sf0.01
-    oracle does). This is the exact-verify baseline the LSH operators
-    are graded against."""
+    be dropped with ``max_doc_freq``: with it set, the result is the
+    EXACT Jaccard over the FILTERED shingle universe (set sizes are
+    computed from the same filtered postings as intersections, so
+    numerator and denominator agree — sizing on the unfiltered universe
+    would let a pair whose whole overlap is hot shingles vanish even
+    when its true J clears the threshold). Pass None for exact J over
+    all shingles, as the sf0.01 oracle does. This is the exact-verify
+    baseline the LSH operators are graded against."""
     sh = F.explode(F.array_distinct(_word_shingles(text_col, shingle)))
     postings = df.select(F.col(id_col).alias("id"), sh.alias("s"))
-    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
     if max_doc_freq is not None:
         dfreq = postings.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
         postings = postings.join(
             dfreq.filter(F.col("__df") <= max_doc_freq), "s"
         ).select("id", "s")
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
     a = postings.select(F.col("id").alias("id_a"), "s")
     b = postings.select(F.col("id").alias("id_b"), "s")
     inter = (
@@ -431,7 +452,24 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
-    prev_sum = None
+    # Type-agnostic convergence digest: two independent exact decimal
+    # sums of per-row (id, comp) hashes. Works for string/long/any id
+    # type (F.sum over strings is NULL → None == None would fake
+    # convergence after round 2 and silently under-merge groups);
+    # decimal(38,0) sums never overflow (ANSI long sum raises at
+    # ~10^10 rows) and a changed round escaping BOTH 64-bit digests is
+    # a ~2^-128 event.
+    def digest(lbl: DataFrame) -> tuple:
+        row = lbl.agg(
+            F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("d1"),
+            F.sum(
+                F.xxhash64(F.lit("nfx:cc:d2"), "id", "comp").cast("decimal(38,0)")
+            ).alias("d2"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (row["d1"], row["d2"], row["n"])
+
+    prev_digest = None
     for _ in range(max_iter):
         prop = sym.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -446,10 +484,10 @@ def connected_components(
             merged.join(jt, merged["comp"] == jt["__jid"], "left")
             .select("id", F.least("comp", "__jcomp").alias("comp"))
         ).localCheckpoint(eager=True)
-        cur = labels.agg(F.sum("comp")).collect()[0][0]
-        if prev_sum is not None and cur == prev_sum:
+        cur = digest(labels)
+        if prev_digest is not None and cur == prev_digest:
             return labels
-        prev_sum = cur
+        prev_digest = cur
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -66,7 +66,21 @@ def _write_arrow_ipc(df: DataFrame, path: str, overwrite: bool) -> None:
     """Distributed Arrow IPC sink: one ``part-{pid}.arrow`` stream file
     per partition, written executor-side from the same Arrow batches
     mapInPandas already produces — no driver collect, no extra shuffle.
-    Read back with ``pyarrow.ipc.open_stream`` per part file."""
+    Read back with ``pyarrow.ipc.open_stream`` per part file.
+
+    Commit protocol (mini Hadoop-style): each task attempt writes
+    ``part-{pid}-attempt-{n}.arrow.tmp`` and atomically renames to the
+    final name only after a clean close, so a failed / speculative /
+    retried attempt can never leave a truncated or interleaved stream
+    under the final name — the last successful attempt wins the rename
+    and either attempt's output is complete. Readers must take ``*.arrow``
+    only (leftover ``*.tmp`` files are uncommitted attempts).
+
+    REQUIRES ``path`` on a filesystem shared by driver and executors
+    (local[{n}], NFS, or a fuse-mounted object store): plain ``os``
+    writes don't go through the Hadoop committer, so on a multi-node
+    cluster with executor-local disks the parts would land where the
+    driver can't see them."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -89,10 +103,15 @@ def _write_arrow_ipc(df: DataFrame, path: str, overwrite: bool) -> None:
         spark_schema = _parse_datatype_json_string(arrow_schema_json)
         assert isinstance(spark_schema, StructType)
         pa_schema = to_arrow_schema(spark_schema)
-        pid = TaskContext.get().partitionId()
-        out = os.path.join(path, f"part-{pid:05d}.arrow")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        final = os.path.join(path, f"part-{pid:05d}.arrow")
+        out = os.path.join(
+            path, f"part-{pid:05d}-attempt-{ctx.attemptNumber()}.arrow.tmp"
+        )
         n = 0
         writer = None
+        ok = False
         try:
             tz_cols = [
                 f.name
@@ -113,10 +132,18 @@ def _write_arrow_ipc(df: DataFrame, path: str, overwrite: bool) -> None:
                     )
                 )
                 n += len(pdf)
+            ok = True
         finally:
             if writer is not None:
                 writer.close()
                 sink.close()
+                if ok:
+                    os.replace(out, final)  # atomic commit
+                else:
+                    try:
+                        os.remove(out)  # drop the uncommitted attempt
+                    except OSError:
+                        pass
         yield pd.DataFrame({"rows": [n]})
 
     df.mapInPandas(gen, "rows long").agg(F.sum("rows")).collect()

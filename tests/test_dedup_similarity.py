@@ -212,6 +212,51 @@ def test_simhash_bucket_cap(spark):
     assert len(out) == 0  # the one giant bucket is dropped, not exploded
 
 
+def test_simhash_warns_when_pigeonhole_guarantee_void(spark, planted_docs):
+    """band_bits=16 → 4 bands → guaranteed recall only to hamming 3;
+    asking for max_hamming=6 must warn (probabilistic recall), and a
+    guarantee-satisfying config must stay silent."""
+    import warnings
+
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    with pytest.warns(UserWarning, match="probabilistic"):
+        simhash_near_dup_pairs(planted_docs, max_hamming=6, band_bits=16)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        simhash_near_dup_pairs(planted_docs, max_hamming=6, band_bits=8)
+
+
+def test_ngram_jaccard_max_doc_freq_filtered_universe(spark):
+    """With max_doc_freq, J is the exact Jaccard over the FILTERED
+    shingle universe: a pair overlapping only on surviving shingles
+    keeps a consistent numerator/denominator (sizing on the unfiltered
+    universe would shrink only the numerator and could drop the pair)."""
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        ngram_jaccard_all_pairs,
+    )
+
+    hot = "alpha beta gamma"  # shared by ALL docs → df = 4 > 3
+    rows = [
+        (0, f"{hot} one two three four"),
+        (1, f"{hot} one two three five"),
+        (2, f"{hot} six seven eight nine"),
+        (3, f"{hot} ten eleven twelve thirteen"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = ngram_jaccard_all_pairs(
+        df, threshold=0.3, shingle=1, max_doc_freq=3
+    ).toPandas()
+    got_map = {(a, b): j for a, b, j in got.itertuples(index=False)}
+    # filtered universe drops {alpha, beta, gamma}; docs 0/1 keep
+    # {one,two,three,four} / {one,two,three,five} → J = 3/5
+    assert (0, 1) in got_map and abs(got_map[(0, 1)] - 0.6) < 1e-12
+    # disjoint-after-filter pairs must not appear
+    assert (2, 3) not in got_map
+
+
 def test_ngram_jaccard_all_pairs_exact_vs_python(spark, planted_docs):
     """Inverted-index all-pairs Jaccard == brute-force python on shingle
     sets, value for value."""
@@ -272,6 +317,31 @@ def test_connected_components_long_chain_converges(spark):
     )
     out = connected_components(pairs).toPandas()
     assert (out.comp == 0).all() and len(out) == 40
+
+
+def test_connected_components_string_ids_long_chain(spark):
+    """String doc ids (the common real-corpus case): F.sum over a string
+    comp column is NULL, so a numeric-sum convergence check would see
+    None == None after round 2 and return a half-merged path. The
+    type-agnostic hash digest must keep iterating until the true
+    fixpoint."""
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        connected_components,
+        dup_groups,
+    )
+
+    ids = [f"doc-{i:04d}" for i in range(40)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+    )
+    out = connected_components(pairs).toPandas()
+    assert (out.comp == "doc-0000").all() and len(out) == 40
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": ids, "text": ["x"] * 40}))
+    grp = dup_groups(docs, pairs).toPandas()
+    assert (grp.dup_group_id == "doc-0000").all()
+    assert (grp.dup_group_size == 40).all()
+    assert grp.is_canonical.sum() == 1
 
 
 def test_cosine_all_pairs_exact_vs_numpy(spark):
