@@ -233,35 +233,44 @@ def simhash(
     bits: int = 64,
     band_bits: int = 16,
 ) -> DataFrame:
-    """64-bit SimHash per doc: explode tokens, per-bit ±1 votes summed
-    JVM-side, sign → bit. Returns (id, simhash, band0..band{B-1}) where
-    B = bits/band_bits: by pigeonhole, any pair with hamming ≤ B−1 is
-    GUARANTEED to agree on some band. band_bits trades recall guarantee
-    vs bucket cardinality: 16-bit bands (65k buckets/band, hamming≤3
-    guarantee) for web scale; 8-bit bands (hamming≤7 guarantee, only
-    256 buckets/band — rely on the bucket cap) for exact small-scale
-    verification."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t"),
-    ).withColumn("__h", F.xxhash64("__t"))
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(bits)
-        ]
-    )
-    sim = sum(
-        F.shiftleft(F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
-        for i in range(bits)
-    )
+    """64-bit SimHash per doc: per-bit ±1 votes accumulated by a single
+    per-row higher-order ``aggregate`` over the token array (one pass,
+    a 64-long vote vector as the fold state), sign → bit. ZERO shuffle:
+    the round-2 explode → groupBy(id).agg(64 × sum) shape materialized
+    one row per token and paid an exchange + two-phase aggregate just
+    to regroup votes by the row they came from — same lesson as
+    ``minhash_signature`` above. Returns (id, simhash, band0..band{B-1})
+    where B = bits/band_bits: by pigeonhole, any pair with hamming ≤ B−1
+    is GUARANTEED to agree on some band. band_bits trades recall
+    guarantee vs bucket cardinality: 16-bit bands (65k buckets/band,
+    hamming≤3 guarantee) for web scale; 8-bit bands (hamming≤7
+    guarantee, only 256 buckets/band — rely on the bucket cap) for
+    exact small-scale verification."""
     if bits % band_bits:
         raise ValueError("bits must be divisible by band_bits")
+    # NB: explicit SQL lambdas (named variables) — F.transform's
+    # two-param python lambda is the (element, index) variant and would
+    # silently shadow a closure variable with the array index
+    votes_expr = (
+        f"aggregate(split(lower({text_col}), '\\\\s+'), "
+        f"array_repeat(0L, {bits}), "
+        f"(acc, t) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+        f"i -> CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1 "
+        f"THEN 1L ELSE -1L END), (a, b) -> a + b))"
+    )
+    sim_expr = (
+        f"aggregate(sequence(0, {bits - 1}), 0L, "
+        f"(acc, i) -> acc + CASE WHEN element_at(__v, i + 1) > 0 "
+        f"THEN shiftleft(1L, i) ELSE 0L END)"
+    )
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    out = votes.withColumn("simhash", sim).select(id_col, "simhash")
+    out = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.expr(votes_expr).alias("__v"))
+        .withColumn("simhash", F.expr(sim_expr))
+        .select(id_col, "simhash")
+    )
     for band in range(n_bands):
         out = out.withColumn(
             f"band{band}",

@@ -87,6 +87,15 @@ def test_minhash_signature_is_narrow(spark, planted_docs_small):
     assert _n_exchanges(out) == 0, _plan(out)
 
 
+def test_simhash_signature_is_narrow(spark, planted_docs_small):
+    """Zero shuffles pre-bucketing: the per-row HOF vote fold replaces
+    the explode + 64-aggregate groupBy exchange of round 2."""
+    from nuclei_feature_extraction_spark.operators.dedup import simhash
+
+    out = simhash(planted_docs_small)
+    assert _n_exchanges(out) == 0, _plan(out)
+
+
 def test_cosine_all_pairs_block_join_is_broadcast(spark):
     import numpy as np
 
