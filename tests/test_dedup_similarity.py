@@ -407,3 +407,85 @@ def test_ivf_topk_recall_vs_exact(spark):
         # all returned sims within the probed lists are exact
         for _, r in sub.iterrows():
             assert abs(r["sim"] - round(sims[int(r.vec_id)], 6)) < 1e-6
+
+
+def test_ivf_topk_query_table_distributed_probes(spark):
+    """A query TABLE (1k rows) flows through the distributed probe
+    assignment (no driver collect of queries): in the exhaustive config
+    (nprobe = n_centroids) IVF must equal brute force for every query."""
+    from nuclei_feature_extraction_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((300, 8))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(300), "embedding": [list(map(float, v)) for v in vecs]}
+        )
+    )
+    qvecs = rng.standard_normal((1000, 8))
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": range(1000),
+             "embedding": [list(map(float, v)) for v in qvecs]}
+        )
+    )
+    got = (
+        ivf_topk(df, queries, k=1, n_centroids=8, nprobe=8)
+        .toPandas()
+        .set_index("query_id")
+    )
+    assert len(got) == 1000
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    q = qvecs / np.linalg.norm(qvecs, axis=1, keepdims=True)
+    sims = q @ v.T
+    # exhaustive probing ≡ exact: check every 37th query's top-1
+    for qi in range(0, 1000, 37):
+        true_top = int(np.argsort(-sims[qi], kind="stable")[0])
+        assert int(got.loc[qi, "vec_id"]) == true_top, qi
+
+
+def test_kmeans_refine_improves_recall_on_planted_clusters(spark):
+    """Lloyd refinement balances inverted lists: recall@1 at a tight
+    nprobe must not degrade, and list balance (max list size) must
+    improve vs the raw hash-sampled seeds on planted clusters."""
+    from nuclei_feature_extraction_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_refine,
+        sample_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 12)) * 5
+    vecs = np.repeat(centers, 50, axis=0) + rng.standard_normal((400, 12)) * 0.2
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(400), "embedding": [list(map(float, v)) for v in vecs]}
+        )
+    )
+    qidx = list(range(0, 400, 25))
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": qidx,
+             "embedding": [list(map(float, vecs[i])) for i in qidx]}
+        )
+    )
+    seeds = sample_centroids(df, 8)
+    refined = kmeans_refine(df, seeds, n_iter=4)
+
+    def max_list(c):
+        return (
+            ivf_assign(df, c).groupBy("ivf_cell").count().toPandas()["count"].max()
+        )
+
+    def recall_at_1(c):
+        got = ivf_topk(
+            df, queries, k=1, n_centroids=8, nprobe=1, centroids=c
+        ).toPandas()
+        hits = sum(int(r.vec_id) == int(r.query_id) for _, r in got.iterrows())
+        return hits / len(qidx)
+
+    assert max_list(refined) <= max_list(seeds)
+    r_seed, r_ref = recall_at_1(seeds), recall_at_1(refined)
+    assert r_ref >= r_seed
+    assert r_ref >= 0.9  # well-separated planted clusters: near-perfect
