@@ -3,16 +3,19 @@
 Images/audio/video ride as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side plumbing — schema, partition-preserving
 ``mapInPandas`` batching, Arrow-safe UDF signatures — is real, and the
-codec step is REAL for two formats with zero external deps:
+codec step is REAL for all three kinds with zero external deps:
 
 - ``image``: 24-bit uncompressed BMP, parsed with pure numpy
   (``decode_bmp``; header layout per the public BMP spec) → per-channel
   means, grayscale std, gradient energy.
 - ``audio``: PCM WAV via the stdlib ``wave`` module (``decode_wav``) →
   duration, RMS, zero-crossing rate, spectral-ish stats.
-- ``video``: still a DECLARED STUB (``decode_stub=True`` yields
-  deterministic byte-histogram pseudo-features; ``decode_stub=False``
-  raises NotImplementedError where an ffmpeg call would slot in).
+- ``video``: uncompressed RIFF/AVI with 24-bit 'DIB ' frames, parsed
+  with stdlib struct + numpy (``decode_avi``; layout per the public
+  RIFF/AVI spec, frame rows share the BMP stride logic) → duration,
+  luma stats, motion energy, frame drift. Compressed codecs (H.264…)
+  would need ffmpeg, absent from this container — unsupported
+  compression fails fast with ValueError.
 
 At 100 TB the shape matters: blobs never shuffle (all ops are narrow
 per-partition maps), metadata-only predicates prune before any byte of
@@ -104,6 +107,131 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+# ------------------------------------------------------------ AVI codec
+#
+# Uncompressed RIFF/AVI ('DIB ' video stream, 24-bit bottom-up BGR
+# frames — layout per the public RIFF/AVI and BITMAPINFOHEADER specs).
+# Pure stdlib struct + numpy; frame rows reuse the BMP stride logic.
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Minimal uncompressed AVI writer: (T, H, W, 3) uint8 RGB frames →
+    RIFF('AVI ') with one 'DIB ' video stream of 24-bit bottom-up BGR
+    '00db' frames. The deterministic test-fixture generator (no
+    imaging/ffmpeg deps in this container)."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_avi expects TxHxWx3 uint8")
+    t, h, w = frames.shape[:3]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    frame_size = (row_bytes + pad) * h
+    usec_per_frame = int(round(1_000_000 / fps))
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, frame_size * fps, 0, 0x10, t, 0, 1, frame_size,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, t, frame_size,
+        0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    strl = _riff_list(
+        b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    )
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl)
+
+    movi_payload = []
+    for fr in frames:
+        bgr = fr[:, :, ::-1]
+        rows = [bgr[r].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)]
+        movi_payload.append(_riff_chunk(b"00db", b"".join(rows)))
+    movi = _riff_list(b"movi", b"".join(movi_payload))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _iter_riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, payload_offset, payload_size) walking chunks in
+    buf[start:end]; raises ValueError on truncation."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError("truncated RIFF chunk")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size % 2)
+
+
+def decode_avi(blob: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed 24-bit 'DIB ' AVI → ((T, H, W, 3) uint8 RGB frames,
+    fps). Malformed/unsupported input raises ValueError (fail-fast
+    corrupt-input policy, SURVEY §3 P3)."""
+    if blob is None or len(blob) < 12 or blob[:4] != b"RIFF":
+        raise ValueError("not a RIFF blob")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    if blob[8:12] != b"AVI " or 8 + riff_size > len(blob):
+        raise ValueError("not an AVI RIFF / truncated")
+    end = 8 + riff_size
+
+    w = h = None
+    bpp = comp = None
+    scale = rate = None
+    frames: list[np.ndarray] = []
+
+    def walk(start: int, stop: int) -> None:
+        nonlocal w, h, bpp, comp, scale, rate
+        for fourcc, off, size in _iter_riff_chunks(blob, start, stop):
+            if fourcc == b"LIST":
+                walk(off + 4, off + size)
+            elif fourcc == b"strh" and size >= 48:
+                fcc_type, _h, _f, _p, _l, _init, s, r = struct.unpack_from(
+                    "<4s4sIHHIII", blob, off
+                )[:8]
+                if fcc_type == b"vids":
+                    scale, rate = s, r
+            elif fourcc == b"strf" and size >= 40 and bpp is None:
+                _sz, _w, _h, _pl, _bpp, _comp = struct.unpack_from(
+                    "<IiiHHI", blob, off
+                )
+                w, h, bpp, comp = _w, abs(_h), _bpp, _comp
+            elif fourcc in (b"00db", b"00dc"):
+                if fourcc == b"00dc" or bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"unsupported AVI frame (bpp={bpp}, compression={comp})"
+                    )
+                if w is None or w <= 0 or h <= 0:
+                    raise ValueError("AVI frame before a valid strf header")
+                row_bytes = w * 3
+                stride = row_bytes + ((-row_bytes) % 4)
+                if size < stride * h:
+                    raise ValueError("truncated AVI frame")
+                raw = np.frombuffer(blob, dtype=np.uint8, count=stride * h,
+                                    offset=off)
+                rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+                frames.append(rows[::-1, :, ::-1])  # bottom-up BGR → RGB
+
+    walk(12, end)
+    if not frames:
+        raise ValueError("AVI contains no frames")
+    if not scale or not rate:
+        raise ValueError("AVI missing video stream timing")
+    return np.stack(frames).copy(), rate / scale
+
+
 # ------------------------------------------------------------ WAV codec
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -192,6 +320,29 @@ def audio_features(
     return f
 
 
+def video_features(
+    frames: np.ndarray, fps: float, dim: int = FEATURE_DIM
+) -> np.ndarray:
+    """Real video features from decoded frames: duration/shape stats,
+    global luma mean/std, motion energy (mean |frame delta|), spatial
+    gradient, first→last frame drift."""
+    t, h, w = frames.shape[:3]
+    x = frames.astype(np.float64) / 255.0
+    gray = x @ np.array([0.299, 0.587, 0.114])
+    motion = float(np.abs(np.diff(gray, axis=0)).mean()) if t > 1 else 0.0
+    gx = float(np.abs(np.diff(gray, axis=2)).mean()) if w > 1 else 0.0
+    drift = float(np.abs(gray[-1] - gray[0]).mean()) if t > 1 else 0.0
+    f = np.zeros(dim)
+    vals = [
+        np.log1p(t / fps), np.log1p(t) / 12.0,
+        np.log1p(w) / 12.0 + np.log1p(h) / 12.0,
+        float(gray.mean()), float(gray.std()),
+        motion, gx, drift,
+    ]
+    f[: min(dim, len(vals))] = vals[:dim]
+    return f
+
+
 def _stub_features(blob: bytes, dim: int) -> np.ndarray:
     """Deterministic pseudo-embedding: byte-histogram moments. Stands in
     for the video decode→model step; stable across runs and engines."""
@@ -224,12 +375,11 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             blob = encode_wav(sig, rate)
             h = w = None
         else:
-            blob = bytes(
-                rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8)
-            )
-            h, w, dur = int(rng.integers(16, 1024)), int(rng.integers(16, 1024)), (
-                float(rng.random() * 300)
-            )
+            t = int(rng.integers(2, 8))
+            h, w = int(rng.integers(4, 12)), int(rng.integers(4, 12))
+            fps = int(rng.integers(5, 30))
+            frames = rng.integers(0, 256, size=(t, h, w, 3), dtype=np.uint8)
+            blob, dur = encode_avi(frames, fps), t / fps
         rows.append((i, kind, blob, (w, h, dur, f"x/{kind}")))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
@@ -245,11 +395,11 @@ def extract_media_features(
     """Per-blob feature vectors via ``mapInPandas`` (narrow — blobs never
     shuffle; output drops the blob).
 
-    ``decode_stub=False`` runs the REAL codecs: BMP for ``image``, WAV
-    for ``audio`` (both dependency-free); ``video`` has no in-container
-    codec and raises NotImplementedError (declared stub). With
-    ``decode_stub=True`` every kind takes the deterministic
-    byte-histogram path (fast smoke mode)."""
+    ``decode_stub=False`` runs the REAL codecs for all three kinds:
+    BMP for ``image``, WAV for ``audio``, uncompressed RIFF/AVI for
+    ``video`` (all dependency-free). With ``decode_stub=True`` every
+    kind takes the deterministic byte-histogram path (fast smoke
+    mode)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -265,10 +415,9 @@ def extract_media_features(
             return list(image_features(decode_bmp(blob), dim))
         if kind == "audio":
             return list(audio_features(*decode_wav(blob), dim))
-        raise NotImplementedError(
-            "real video decode needs ffmpeg — not in this container; "
-            "wire the codec here"
-        )
+        if kind == "video":
+            return list(video_features(*decode_avi(blob), dim))
+        raise ValueError(f"unknown media kind {kind!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

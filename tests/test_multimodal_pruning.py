@@ -27,10 +27,13 @@ def test_media_feature_plumbing(spark):
     assert np.array_equal(a, b)
 
 
-def test_media_decode_stub_gate(spark):
-    media = synthesize_media(spark, n=4)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        extract_media_features(media, decode_stub=False).collect()
+def test_media_real_decode_all_kinds(spark):
+    """decode_stub=False now runs a REAL codec for every kind (BMP /
+    WAV / AVI) — no NotImplementedError anywhere."""
+    media = synthesize_media(spark, n=12)
+    got = extract_media_features(media, decode_stub=False).toPandas()
+    assert len(got) == 12
+    assert got["feat"].map(lambda f: np.isfinite(f).all()).all()
 
 
 def test_media_metadata_filter(spark):
@@ -147,20 +150,72 @@ def test_real_decode_corrupt_blob_fails_fast(spark):
 
 
 def test_synthesized_media_real_decode_end_to_end(spark):
-    """synthesize_media now emits REAL BMP/WAV blobs: the full image +
-    audio subset decodes for real; video stays a declared stub."""
+    """synthesize_media emits REAL BMP/WAV/AVI blobs: every kind decodes
+    for real end-to-end."""
     from nuclei_feature_extraction_spark.operators.multimodal import (
         extract_media_features,
-        filter_media,
         synthesize_media,
     )
 
     media = synthesize_media(spark, n=48)
-    ia = filter_media(media, kinds=["image", "audio"])
-    got = extract_media_features(ia, decode_stub=False).toPandas()
-    assert len(got) == ia.count() > 0
+    got = extract_media_features(media, decode_stub=False).toPandas()
+    assert len(got) == 48
     assert got["feat"].map(len).eq(8).all()
     assert got["feat"].map(lambda f: np.isfinite(f).all()).all()
-    video = filter_media(media, kinds=["video"])
-    with pytest.raises(Exception, match="NotImplementedError|video"):
-        extract_media_features(video, decode_stub=False).collect()
+
+
+def test_avi_roundtrip_lossless():
+    """encode_avi → decode_avi is bit-lossless on frames and exact on
+    fps (uncompressed 24-bit DIB path)."""
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(3)
+    for t, h, w, fps in [(1, 4, 4, 5), (3, 5, 7, 12), (6, 9, 3, 25)]:
+        frames = rng.integers(0, 256, size=(t, h, w, 3), dtype=np.uint8)
+        back, got_fps = decode_avi(encode_avi(frames, fps))
+        assert np.array_equal(back, frames), (t, h, w)
+        assert abs(got_fps - fps) < 1e-12
+
+
+def test_avi_corrupt_and_unsupported_fail_fast(spark):
+    """P3 fail-fast: truncated RIFF, non-AVI RIFF, and compressed
+    ('00dc') frames all raise ValueError — never silent features."""
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    frames = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    good = encode_avi(frames, 10)
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_avi(good[: len(good) // 2])
+    with pytest.raises(ValueError):
+        decode_avi(good.replace(b"00db", b"00dc"))
+    with pytest.raises(ValueError):
+        decode_avi(b"garbage")
+
+
+def test_video_features_vs_numpy():
+    """Feature values match a direct numpy recomputation on the decoded
+    frames (motion energy, luma stats, drift)."""
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+        video_features,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, size=(4, 6, 5, 3), dtype=np.uint8)
+    back, fps = decode_avi(encode_avi(frames, 8))
+    f = video_features(back, fps)
+    gray = (back.astype(np.float64) / 255.0) @ np.array([0.299, 0.587, 0.114])
+    assert abs(f[3] - gray.mean()) < 1e-12
+    assert abs(f[4] - gray.std()) < 1e-12
+    assert abs(f[5] - np.abs(np.diff(gray, axis=0)).mean()) < 1e-12
+    assert abs(f[7] - np.abs(gray[-1] - gray[0]).mean()) < 1e-12
+    assert abs(f[0] - np.log1p(4 / 8)) < 1e-12
