@@ -395,30 +395,36 @@ def build_features_fused(
         ts_us = out["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
         if prof is not None:
             pconv, prts, ppl, psc = prof
-            plan = np.empty(len(out), dtype=object)
-            score = np.full(len(out), np.nan)
             conv_arr = out["conv_id"].to_numpy()
-            starts = np.flatnonzero(
-                np.r_[True, conv_arr[1:] != conv_arr[:-1]]
-            ).tolist() + [len(out)]
-            for i in range(len(starts) - 1):
-                lo, hi = starts[i], starts[i + 1]
-                cid = conv_arr[lo]
-                lo_s = np.searchsorted(pconv, cid, side="left")
-                hi_s = np.searchsorted(pconv, cid, side="right")
-                if lo_s == hi_s:
-                    plan[lo:hi] = None
-                    continue
-                rts, pl, sc = prts[lo_s:hi_s], ppl[lo_s:hi_s], psc[lo_s:hi_s]
-                idx = np.searchsorted(rts, ts_us[lo:hi], side="right") - 1
-                ok = idx >= 0
-                safe = np.clip(idx, 0, None)
-                seg_plan = pl[safe].astype(object)
-                seg_plan[~ok] = None
-                plan[lo:hi] = seg_plan
-                seg_score = sc[safe].astype(np.float64)
-                seg_score[~ok] = np.nan
-                score[lo:hi] = seg_score
+            # per-CONVERSATION string searches (one per conv, repeated to
+            # rows), then one fully VECTORIZED bounded binary search for
+            # the rightmost side row with rts ≤ ts inside each conv's
+            # side block — ~log2(max block) numpy passes, zero Python
+            # per-row/per-conv work (the round-2 per-conversation loop
+            # pinned one core on many-conversation chunks)
+            starts = np.flatnonzero(np.r_[True, conv_arr[1:] != conv_arr[:-1]])
+            counts = np.diff(np.r_[starts, len(out)])
+            cids = conv_arr[starts].astype(pconv.dtype)
+            blo = np.repeat(np.searchsorted(pconv, cids, side="left"), counts)
+            bhi = np.repeat(np.searchsorted(pconv, cids, side="right"), counts)
+            lo, hi = blo.copy(), bhi.copy()
+            while True:
+                active = lo < hi
+                if not active.any():
+                    break
+                mid = (lo + hi) >> 1
+                le = np.zeros(len(lo), dtype=bool)
+                am = mid[active]
+                le[active] = prts[am] <= ts_us[active]
+                lo = np.where(active & le, mid + 1, lo)
+                hi = np.where(active & ~le, mid, hi)
+            idx = lo - 1
+            ok = idx >= blo  # empty block (blo == bhi) → idx < blo
+            safe = np.clip(idx, 0, None)
+            plan = ppl[safe].astype(object)
+            plan[~ok] = None
+            score = psc[safe].astype(np.float64)
+            score[~ok] = np.nan
             out["plan"] = plan
             out["score"] = score
         if cfg is not None:
