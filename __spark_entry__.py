@@ -489,6 +489,99 @@ def q_prefix_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COOC_FULL_LAGS = (1, 2, 3, 5)
+_COOC_FULL_LEVELS = (4, 8, 16, 32)
+_COOC_FULL_STATS = (
+    ("contrast", "contrast"),
+    ("dissimilarity", "dissim"),
+    ("sum_average", "sumavg"),
+    ("correlation", "corr"),
+    ("sum_of_squares", "sos"),
+)
+
+
+def q_prefix_cooc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REFERENCE-SCALE co-occurrence grid (texture.rs:19-20:
+    d ∈ {1,2,3,5} × K ∈ {4,8,16,32} — 16 GLCM cells) through the real
+    incremental kernel in ONE pass, all 5 exact-accumulator stats per
+    cell = 80 oracle-hashed columns. Evidence that the O(n) prefix
+    identities hold at the full grid the reference ships, not just the
+    (1,4) cell."""
+    from nuclei_feature_extraction_spark.functions.kernels import prefix_features
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    feats = prefix_features(
+        tr, families=("cooc",), lags=_COOC_FULL_LAGS, levels=_COOC_FULL_LEVELS
+    )
+    keyed = tr.select("conv_id", "turn_idx", "event_id").join(
+        feats, on=["conv_id", "turn_idx"]
+    )
+    cols = []
+    for k in _COOC_FULL_LEVELS:
+        for d in _COOC_FULL_LAGS:
+            for stat, _ in _COOC_FULL_STATS:
+                nm = f"cooc_{stat}_d{d}_k{k}"
+                cols.append((F.round(_nan_to_null(nm), 6) + F.lit(0.0)).alias(nm))
+    return keyed.select("event_id", *cols)
+
+
+def _prefix_cooc_full_sql() -> str:
+    """Generate the DuckDB twin of q_prefix_cooc_full: the same
+    cumulative integer-accumulator math per (d, k) cell, one windowed
+    frame, 16 cells × (1 count + 5 sums)."""
+    lev_cols = ",\n              ".join(
+        f"least({k - 1}, greatest(0, CAST(floor(ln(1.0 + greatest(floor(value * 10.0), 0)) / ln(4097.0) * {k}) AS INT))) AS lev{k}"
+        for k in _COOC_FULL_LEVELS
+    )
+    tr_cols = ",\n              ".join(
+        f"lag(lev{k}, {d}) OVER w AS i_d{d}_k{k}"
+        for k in _COOC_FULL_LEVELS
+        for d in _COOC_FULL_LAGS
+    )
+    c_cols, sel = [], []
+    for k in _COOC_FULL_LEVELS:
+        for d in _COOC_FULL_LAGS:
+            i, j, p = f"i_d{d}_k{k}", f"lev{k}", f"d{d}_k{k}"
+            c_cols += [
+                f"SUM(CASE WHEN {i} IS NULL THEN 0 ELSE 2 END) OVER wf AS s_{p}",
+                f"SUM(CASE WHEN {i} IS NULL THEN 0.0 ELSE 2.0*({i}-{j})*({i}-{j}) END) OVER wf AS con_{p}",
+                f"SUM(CASE WHEN {i} IS NULL THEN 0.0 ELSE 2.0*abs({i}-{j}) END) OVER wf AS dis_{p}",
+                f"SUM(CASE WHEN {i} IS NULL THEN 0.0 ELSE 1.0*({i}+{j}) END) OVER wf AS mu_{p}",
+                f"SUM(CASE WHEN {i} IS NULL THEN 0.0 ELSE 1.0*({i}*{i}+{j}*{j}) END) OVER wf AS m2_{p}",
+                f"SUM(CASE WHEN {i} IS NULL THEN 0.0 ELSE 2.0*{i}*{j} END) OVER wf AS eij_{p}",
+            ]
+            sel += [
+                f"round(CASE WHEN s_{p} > 0 THEN con_{p}/s_{p} END, 6) + 0.0 AS cooc_contrast_d{d}_k{k}",
+                f"round(CASE WHEN s_{p} > 0 THEN dis_{p}/s_{p} END, 6) + 0.0 AS cooc_dissimilarity_d{d}_k{k}",
+                f"round(CASE WHEN s_{p} > 0 THEN 2.0*mu_{p}/s_{p} END, 6) + 0.0 AS cooc_sum_average_d{d}_k{k}",
+                f"round(CASE WHEN s_{p} > 0 AND (m2_{p}/s_{p} - (mu_{p}/s_{p})*(mu_{p}/s_{p})) > 1e-9 "
+                f"THEN (eij_{p}/s_{p} - (mu_{p}/s_{p})*(mu_{p}/s_{p})) "
+                f"/ (m2_{p}/s_{p} - (mu_{p}/s_{p})*(mu_{p}/s_{p})) END, 6) + 0.0 AS cooc_correlation_d{d}_k{k}",
+                f"round(CASE WHEN s_{p} > 0 THEN m2_{p}/s_{p} - (mu_{p}/s_{p})*(mu_{p}/s_{p}) END, 6) + 0.0 AS cooc_sum_of_squares_d{d}_k{k}",
+            ]
+    nl = ",\n              "
+    return f"""
+            WITH lv AS (
+              SELECT event_id, user_id, ts,
+              {lev_cols}
+              FROM events
+            ), tr AS (
+              SELECT *,
+              {tr_cols}
+              FROM lv WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), c AS (
+              SELECT event_id,
+              {nl.join(c_cols)}
+              FROM tr
+              WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id,
+              {nl.join(sel)}
+            FROM c
+        """
+
+
 def q_prefix_runlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix run-length stats (tlen level-4 stream) through the real
     kernel, vs an independent SQL window implementation."""
@@ -660,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "prefix_cooc": q_prefix_cooc,
+        "prefix_cooc_full": q_prefix_cooc_full,
         "prefix_runlen": q_prefix_runlen,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -978,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
               round(CASE WHEN s > 0 THEN m2_c/s - (mu_c/s)*(mu_c/s) END, 6) + 0.0 AS cooc_sum_of_squares
             FROM c
         """,
+        "prefix_cooc_full": _prefix_cooc_full_sql(),
         "prefix_runlen": """
             WITH lv AS (
               SELECT event_id, user_id, ts, least(3, greatest(0, CAST(floor(ln(1.0 + greatest(floor(value * 10.0), 0)) / ln(4097.0) * 4) AS INT))) AS lev

@@ -82,6 +82,10 @@ class RunMetrics:
     null_keys: int
     min_ts: str
     max_ts: str
+    # operator-level audits (e.g. LSH bucket-cap drop counts from the
+    # dedup operators' ``audit={}`` hook) — capped drops must surface
+    # in the run manifest, never only in an opt-in side query
+    audits: dict | None = None
 
     def write(self, out_dir: str, name: str = "metrics.json") -> str:
         os.makedirs(out_dir, exist_ok=True)
@@ -92,10 +96,16 @@ class RunMetrics:
 
 
 def run_with_metrics(
-    df: DataFrame, action, ts_col: str = "ts", key_col: str = "conv_id"
+    df: DataFrame,
+    action,
+    ts_col: str = "ts",
+    key_col: str = "conv_id",
+    audits: dict | None = None,
 ) -> tuple[object, RunMetrics]:
     """Run ``action(observed_df)`` and harvest metrics from the same
-    pass (row count etc. cost nothing extra)."""
+    pass (row count etc. cost nothing extra). ``audits`` (e.g. the dict
+    filled by a dedup operator's ``audit={}`` hook) rides into the
+    serialized metrics verbatim."""
     odf, obs = observed(df, ts_col, key_col)
     t0 = time.perf_counter()
     result = action(odf)
@@ -109,4 +119,5 @@ def run_with_metrics(
         null_keys=int(got["null_keys"] or 0),
         min_ts=str(got["min_ts"]),
         max_ts=str(got["max_ts"]),
+        audits=audits,
     )

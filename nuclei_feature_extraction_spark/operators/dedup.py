@@ -192,19 +192,26 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle: int = 3,
     max_bucket_size: int | None = 1000,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b, est_jaccard) via banded LSH.
 
     bands × (num_perm/bands) signature; docs sharing any band bucket are
     candidates; est_jaccard = fraction of agreeing minhash components.
     The band-bucket join shuffles only (band, 64-bit bucket, id) rows,
-    capped at ``max_bucket_size`` members per bucket (None = uncapped;
-    audit drops with ``lsh_bucket_stats(minhash_buckets(sig), cap)``).
-    Signatures are re-attached only AFTER pair distinct."""
+    capped at ``max_bucket_size`` members per bucket (None = uncapped).
+    Signatures are re-attached only AFTER pair distinct.
+
+    Pass ``audit={}`` to have the cap's drop volume measured into it
+    (``lsh_bucket_stats`` keys: n_dropped_buckets/members…) so the
+    run's lineage metrics record what the cap cost — caps must never be
+    silent."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     sig = minhash_signature(df, id_col, text_col, num_perm, shingle).cache()
     buckets = minhash_buckets(sig, id_col, num_perm, bands)
+    if audit is not None and max_bucket_size is not None:
+        audit.update(lsh_bucket_stats(buckets, max_bucket_size))
     pairs = _capped_bucket_pairs(buckets, id_col, max_bucket_size)
     sa = sig.select(
         F.col(id_col).alias("id_a"),
@@ -307,6 +314,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     max_bucket_size: int | None = 1000,
     band_bits: int = 16,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs whose simhash agrees on ≥1 band, filtered to true
     hamming ≤ max_hamming via bit_count(xor). Recall is EXACT (pigeonhole)
@@ -334,6 +342,8 @@ def simhash_near_dup_pairs(
         )
     s = simhash(df, id_col, text_col, band_bits=band_bits).cache()
     buckets = simhash_buckets(s, id_col)
+    if audit is not None and max_bucket_size is not None:
+        audit.update(lsh_bucket_stats(buckets, max_bucket_size))
     pairs = _capped_bucket_pairs(buckets, id_col, max_bucket_size)
     sa = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"))
     sb = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"))

@@ -49,6 +49,39 @@ def test_run_with_metrics(spark, tiny_df):
     assert metrics.min_ts.startswith("2024-")
 
 
+def test_bucket_cap_drops_surface_in_run_metrics(spark, tmp_path):
+    """A hot LSH bucket whose members the cap drops must show up in the
+    serialized run manifest (audits.n_dropped_members > 0) — no silent
+    caps in the lineage either."""
+    import json
+
+    import pandas as pd
+
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, "hot hot hot hot hot", None) for i in range(300)]
+    rows += [(1000 + i, f"unique text number {i} with words", None) for i in range(20)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "tool"])
+    ).withColumn("ts", F.current_timestamp())
+    audit: dict = {}
+    pairs = minhash_lsh_pairs(df, max_bucket_size=50, audit=audit)
+    _, metrics = run_with_metrics(
+        pairs.withColumn("ts", F.current_timestamp()),
+        lambda d: d.count(),
+        key_col="id_a",
+        audits=audit,
+    )
+    assert metrics.audits is not None
+    assert metrics.audits["n_dropped_members"] > 0
+    path = metrics.write(str(tmp_path))
+    with open(path) as fh:
+        on_disk = json.load(fh)
+    assert on_disk["audits"]["n_dropped_members"] > 0
+
+
 def test_partition_metrics(spark, tiny_df):
     pm = partition_metrics(tiny_df.repartition(4, "conv_id")).toPandas()
     assert pm["rows"].sum() == tiny_df.count()
