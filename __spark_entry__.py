@@ -282,24 +282,24 @@ def q_run_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_run = runs.groupBy("user_id", "run_id").agg(
         F.count(F.lit(1)).alias("run_len")
     )
-    # RLN (Σ count(length=j)² / R) and LRE (Σ len² / R): integer
-    # numerators, so the cross-engine repr-hash is summation-order-safe
-    rln_num = (
-        per_run.groupBy("user_id", "run_len")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("user_id")
-        .agg(F.sum(F.col("c") * F.col("c")).cast("double").alias("rln_num"))
-    )
-    base = per_run.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_runs"),
-        F.round(F.avg("run_len"), 6).alias("mean_run_len"),
+    # One extra rollup through (user_id, run_len) counts gives EVERY
+    # stat — n_runs = Σc, mean = Σ(len·c)/Σc, lre = Σ(len²·c)/Σc,
+    # RLN = Σc²/Σc — with no join and all-integer numerators (the
+    # cross-engine repr-hash is summation-order-safe)
+    lc = per_run.groupBy("user_id", "run_len").agg(F.count(F.lit(1)).alias("c"))
+    return lc.groupBy("user_id").agg(
+        F.sum("c").alias("n_runs"),
+        F.round(
+            F.sum(F.col("run_len") * F.col("c")).cast("double") / F.sum("c"), 6
+        ).alias("mean_run_len"),
         F.max("run_len").alias("max_run_len"),
-        F.sum(F.col("run_len") * F.col("run_len")).cast("double").alias("lre_num"),
-    )
-    return base.join(rln_num, "user_id").select(
-        "user_id", "n_runs", "mean_run_len", "max_run_len",
-        F.round(F.col("rln_num") / F.col("n_runs"), 6).alias("rln"),
-        F.round(F.col("lre_num") / F.col("n_runs"), 6).alias("lre"),
+        F.round(
+            F.sum(F.col("c") * F.col("c")).cast("double") / F.sum("c"), 6
+        ).alias("rln"),
+        F.round(
+            F.sum(F.col("run_len") * F.col("run_len") * F.col("c")).cast("double")
+            / F.sum("c"), 6
+        ).alias("lre"),
     )
 
 

@@ -93,7 +93,10 @@ def _seg_cumsum_block(cols: Sequence[np.ndarray], first: np.ndarray) -> list[np.
     guarantee as ``_seg_cumsum`` (each segment sums independently)."""
     seg = np.cumsum(first)
     n = len(first)
-    block = np.empty((n, len(cols)), dtype=np.float64)
+    # F-order: pandas stores DataFrame blocks as (m, n) = block.T, so an
+    # F-ordered input makes the internal block C-contiguous — the cython
+    # cumsum and the column extraction both run ~2× faster (measured)
+    block = np.empty((n, len(cols)), dtype=np.float64, order="F")
     for j, c in enumerate(cols):
         block[:, j] = c
     out = pd.DataFrame(block, copy=False).groupby(seg).cumsum().to_numpy()
