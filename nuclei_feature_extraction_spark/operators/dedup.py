@@ -85,16 +85,20 @@ def minhash_signature(
     shingle: int = 3,
 ) -> DataFrame:
     """(id, h0..h{P-1}) MinHash signature, fully NARROW: the shingle
-    array is built once per row and each permutation is
-    ``array_min(transform(sh, x -> xxhash64(x, i)))`` — per-row
-    higher-order functions, ZERO shuffle. The round-1 explode →
-    groupBy(id).agg(32 × min) shape did benefit from map-side partial
-    aggregation, but still materialized one row per shingle and paid an
-    exchange + two-phase aggregate just to regroup values by the row
-    they came from; per-row HOFs skip all of it (measured ~even on
-    wall clock locally, strictly less shuffle at scale)."""
+    array is built once per row, each shingle STRING is hashed exactly
+    once (``xxhash64(x)``), and every permutation re-hashes only the
+    resulting 8-byte long (``array_min(transform(hs, h ->
+    xxhash64(h, i)))``) — per-row higher-order functions, ZERO shuffle.
+    Hashing the fixed-width long is far cheaper than re-hashing a
+    multi-word shingle string P times (the round-2 shape), and the
+    permutations stay independent (xxhash64 seeded by i). The round-1
+    explode → groupBy(id).agg(32 × min) shape additionally paid an
+    exchange + two-phase aggregate just to regroup values by row."""
     sh = _word_shingles(text_col, shingle)
-    row = df.select(F.col(id_col), sh.alias("__sh"))
+    row = df.select(
+        F.col(id_col),
+        F.transform(sh, lambda x: F.xxhash64(x)).alias("__hs"),
+    )
 
     def perm_min(i: int):
         # NB: the lambda must take exactly ONE parameter — a two-param
@@ -102,7 +106,7 @@ def minhash_signature(
         # would pass the array index into the second slot, silently
         # replacing the permutation seed
         return F.array_min(
-            F.transform("__sh", lambda x: F.xxhash64(x, F.lit(i)))
+            F.transform("__hs", lambda h: F.xxhash64(h, F.lit(i)))
         ).alias(f"mh{i}")
 
     return row.select(id_col, *[perm_min(i) for i in range(num_perm)])
