@@ -71,9 +71,14 @@ def exact_dedup(
 
 
 def _word_shingles(text_col: str, n: int) -> Column:
+    # the outer single-element transform BINDS the token array once per
+    # row: referencing split(...) inside the inner lambda instead would
+    # re-split the whole string for every shingle index (O(tokens²)
+    # string work per row — higher-order lambdas don't get CSE)
     return F.expr(
-        f"transform(sequence(0, greatest(size(split(lower({text_col}), '\\\\s+')) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n})))"
+        f"transform(array(split(lower({text_col}), '\\\\s+')), toks -> "
+        f"transform(sequence(0, greatest(size(toks) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n}))))[0]"
     )
 
 
