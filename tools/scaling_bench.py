@@ -45,16 +45,22 @@ print(json.dumps({{"cpus": cpus, "rows": n, "wall_all": [round(t,1) for t in tim
 """
 
 
-def run_level(cpus: int, scale: str) -> dict:
+def run_level(cpus: int, scale: str, retries: int = 1) -> dict:
     code = RUNNER.format(repo=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), scale],
-        capture_output=True, text=True, timeout=3000, cwd=REPO,
-    )
-    for line in reversed(out.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no result for local[{cpus}]: {out.stderr[-2000:]}")
+    last_err = ""
+    for _ in range(retries + 1):
+        out = subprocess.run(
+            [sys.executable, "-c", code, str(cpus), scale],
+            capture_output=True, text=True, timeout=3000, cwd=REPO,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        # shared-VM flakiness: a python worker occasionally dies with
+        # "Connection reset" under 32-thread contention (seen on both
+        # r2 and r3 code the same day) — one retry, then give up loudly
+        last_err = out.stderr[-2000:]
+    raise RuntimeError(f"no result for local[{cpus}]: {last_err}")
 
 
 def main() -> None:
