@@ -692,6 +692,37 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 20 == 0 play the
+    benchmark/eval set; every other doc's distinct-3-shingle overlap
+    with the benchmark union is computed — integer counts + exact-ratio,
+    fully oracle-checkable."""
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(corpus, bench, threshold=0.5).select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        "contamination",
+        "is_contaminated",
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-reproducible train/val/test assignment —
+    the md5-hex-bucket mechanism must yield IDENTICAL per-row labels in
+    DuckDB (the whole point: auditable outside Spark)."""
+    from nuclei_feature_extraction_spark.operators.sampling import with_split
+
+    docs = _documents(spark, sf_dir)
+    return with_split(docs, id_col="doc_id", seed="s0").select("doc_id", "split")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-pairs embedding cosine ≥ τ via blocked matmul (the
     verify baseline; the LSH candidate path is pytest-verified on
@@ -759,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_groups": q_dup_groups,
+        "contamination": q_contamination,
+        "split_assign": q_split_assign,
         "embedding_near_dup": q_embedding_near_dup,
     }
 
@@ -1071,6 +1104,37 @@ def oracle_sql() -> dict[str, str]:
                          / (m2_c/s - (mu_c/s)*(mu_c/s)) END, 6) + 0.0 AS cooc_correlation,
               round(CASE WHEN s > 0 THEN m2_c/s - (mu_c/s)*(mu_c/s) END, 6) + 0.0 AS cooc_sum_of_squares
             FROM c
+        """,
+        "contamination": f"""
+            WITH sh AS ({_SHINGLES_SQL}),
+            bench AS (
+              SELECT DISTINCT unnest(s) AS s FROM sh WHERE doc_id % 20 = 0
+            ),
+            cp AS (
+              SELECT doc_id, unnest(s) AS s FROM sh WHERE doc_id % 20 <> 0
+            ),
+            sizes AS (
+              SELECT doc_id, count(*) AS n_shingles FROM cp GROUP BY doc_id
+            ),
+            hits AS (
+              SELECT cp.doc_id, count(*) AS n_hit
+              FROM cp JOIN bench USING (s) GROUP BY cp.doc_id
+            )
+            SELECT sizes.doc_id,
+                   n_shingles,
+                   coalesce(n_hit, 0) AS n_hit,
+                   round(coalesce(n_hit, 0) / n_shingles::DOUBLE, 6) + 0.0 AS contamination,
+                   coalesce(n_hit, 0) / n_shingles::DOUBLE >= 0.5 AS is_contaminated
+            FROM sizes LEFT JOIN hits ON hits.doc_id = sizes.doc_id
+        """,
+        "split_assign": """
+            SELECT doc_id,
+                   CASE
+                     WHEN substr(md5(concat_ws(':', 's0', CAST(doc_id AS VARCHAR))), 1, 4) < 'e666' THEN 'train'
+                     WHEN substr(md5(concat_ws(':', 's0', CAST(doc_id AS VARCHAR))), 1, 4) < 'f333' THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
         """,
         "prefix_cooc_full": _prefix_cooc_full_sql(),
         "prefix_runlen": """

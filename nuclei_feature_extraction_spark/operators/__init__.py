@@ -23,9 +23,14 @@ from nuclei_feature_extraction_spark.operators.dedup import (  # noqa: F401
     dup_groups,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_contamination,
     ngram_jaccard_all_pairs,
     ngram_jaccard_verify,
     simhash_near_dup_pairs,
+)
+from nuclei_feature_extraction_spark.operators.sampling import (  # noqa: F401
+    deterministic_sample,
+    with_split,
 )
 from nuclei_feature_extraction_spark.operators.similarity import (  # noqa: F401
     cosine_all_pairs_exact,

@@ -453,6 +453,61 @@ def ngram_jaccard_all_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+    threshold: float = 0.5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — a first-class training-data op: for
+    every corpus doc, the fraction of its distinct word-``shingle``-grams
+    that appear ANYWHERE in the benchmark set. Returns (id, n_shingles,
+    n_hit, contamination, is_contaminated ≥ threshold); filter
+    ``~is_contaminated`` to decontaminate a pretraining corpus against
+    an eval set (the n-gram-overlap decontamination protocol of GPT-3
+    appendix C / the Pile).
+
+    Scale shape: the benchmark's DISTINCT shingle set is usually tiny
+    next to the corpus — it broadcasts (``broadcast_benchmark``), so the
+    corpus-side postings never shuffle: explode → broadcast-semi-join →
+    partial-agg count. Set False for a huge benchmark to fall back to a
+    shuffled semi-join on the shingle key. Integer counts → the ratio is
+    bit-identical across engines (DuckDB-oracle-checkable)."""
+    c_post = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_shingles(text_col, shingle))).alias("s"),
+    )
+    b_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(_word_shingles(text_col, shingle))).alias("s")
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
+    sizes = c_post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        c_post.join(b_sh, "s", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ratio = F.col("n_hit") / F.col("n_shingles")
+    return (
+        sizes.join(hits, id_col, "left")
+        .fillna(0, ["n_hit"])
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hit",
+            (F.round(ratio, 6) + F.lit(0.0)).alias("contamination"),
+            (ratio >= F.lit(float(threshold))).alias("is_contaminated"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_col_a: str = "id_a",

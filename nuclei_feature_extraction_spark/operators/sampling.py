@@ -1,0 +1,98 @@
+"""Deterministic, engine-reproducible splitting & sampling.
+
+Training-data pipelines need train/val/test assignment that is (a) a
+pure function of the row id — re-running the pipeline, adding rows, or
+changing partitioning must never move an existing row between splits
+(data leakage between train and eval) — and (b) reproducible OUTSIDE
+Spark, so an auditor can recompute the assignment in any engine.
+
+Mechanism: bucket = the first 4 hex chars of ``md5("{seed}:{id}")``
+compared against cumulative-weight bounds in hex-string space (65,536
+buckets). md5 produces identical lowercase hex everywhere (Spark,
+DuckDB, Python's hashlib), and lexicographic comparison of fixed-width
+lowercase hex == numeric comparison — so the SAME SQL reproduces the
+SAME assignment in any engine, row for row (oracle-checked by the
+``split_assign`` driver query). Everything is whole-stage-codegen
+Catalyst expressions: no shuffle, no UDF, no RNG state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 65536  # 16^4
+
+
+def _hex_bucket(id_col: str, seed: str) -> Column:
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))), 1, 4
+    )
+
+
+def _bound_hex(cum_weight: float) -> str:
+    return format(min(int(cum_weight * _BUCKETS), _BUCKETS), "04x")
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    seed: str = "s0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic split label. ``weights`` are (name,
+    fraction) in order; fractions must sum to 1 (last label absorbs the
+    hex-rounding remainder). Changing ``seed`` produces an independent
+    assignment; the id→split map is stable under any row addition,
+    deletion, or reordering."""
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = _hex_bucket(id_col, seed)
+    expr: Column | None = None
+    cum = 0.0
+    for name, w in weights[:-1]:
+        cum += w
+        cond = h < F.lit(_bound_hex(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def split_bounds_sql(
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> list[tuple[str, str]]:
+    """(label, upper-hex-bound) pairs for reproducing the assignment in
+    external SQL (the last label has no bound — it's the ELSE)."""
+    out = []
+    cum = 0.0
+    for name, w in weights[:-1]:
+        cum += w
+        out.append((name, _bound_hex(cum)))
+    return out
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Stable ``fraction`` subsample: a row is in the sample iff its
+    hex bucket < fraction·65536 — the same rows every run, and samples
+    at fraction f' ⊃ f (nested: growing the sample never drops rows)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_hex_bucket(id_col, seed) < F.lit(_bound_hex(fraction)))
