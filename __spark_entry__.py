@@ -723,6 +723,23 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_split(docs, id_col="doc_id", seed="s0").select("doc_id", "split")
 
 
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing: per-shard token offsets and
+    pack assignment — all-integer arithmetic, row-exact in DuckDB."""
+    from nuclei_feature_extraction_spark.operators.sampling import (
+        pack_documents,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return pack_documents(docs, budget=512, n_shard_hex=1).select(
+        "doc_id", "shard",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-pairs embedding cosine ≥ τ via blocked matmul (the
     verify baseline; the LSH candidate path is pytest-verified on
@@ -792,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups": q_dup_groups,
         "contamination": q_contamination,
         "split_assign": q_split_assign,
+        "pack_docs": q_pack_docs,
         "embedding_near_dup": q_embedding_near_dup,
     }
 
@@ -1135,6 +1153,24 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'test'
                    END AS split
             FROM documents
+        """,
+        "pack_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     substr(md5(concat_ws(':', 'pack0', CAST(doc_id AS VARCHAR))), 1, 1) AS shard,
+                     len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS start_tok
+              FROM t
+            )
+            SELECT doc_id, shard, n_tokens, start_tok,
+                   start_tok // 512 AS pack_id,
+                   start_tok % 512 AS pack_offset
+            FROM c
         """,
         "prefix_cooc_full": _prefix_cooc_full_sql(),
         "prefix_runlen": """

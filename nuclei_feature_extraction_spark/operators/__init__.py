@@ -30,6 +30,7 @@ from nuclei_feature_extraction_spark.operators.dedup import (  # noqa: F401
 )
 from nuclei_feature_extraction_spark.operators.sampling import (  # noqa: F401
     deterministic_sample,
+    pack_documents,
     with_split,
 )
 from nuclei_feature_extraction_spark.operators.similarity import (  # noqa: F401

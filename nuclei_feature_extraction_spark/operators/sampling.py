@@ -84,6 +84,61 @@ def split_bounds_sql(
     return out
 
 
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    n_shard_hex: int = 2,
+    seed: str = "pack0",
+) -> DataFrame:
+    """GPT-style streaming concat-and-chunk packing: documents are
+    ordered deterministically within hash shards, conceptually
+    concatenated, and cut into fixed ``budget``-token packs (a doc may
+    straddle a pack boundary — standard pretraining packing; the
+    trainer's loader slices by the emitted offsets).
+
+    Returns every input column plus ``shard`` (md5-hex prefix,
+    16^``n_shard_hex`` shards), ``n_tokens``, ``start_tok`` (the doc's
+    first token offset within its shard's concatenation), ``pack_id``
+    (= start_tok // budget) and ``pack_offset`` (= start_tok % budget).
+    All integer arithmetic — bit-identical across engines.
+
+    Scale shape: ONE shuffle (hash-shard partition + in-shard window
+    sort by id); shards are independent, so parallelism = shard count —
+    raise ``n_shard_hex`` to 3 (4096 shards) for very large corpora.
+    Assignment is a pure function of (seed, ids, token counts): stable
+    across reruns and partitionings, auditable in external SQL."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    toks = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.col(text_col), r"\s+"))
+    ).cast("long")
+    shard = F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+        1,
+        n_shard_hex,
+    )
+    out = df.withColumn("shard", shard).withColumn("n_tokens", toks)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        out.withColumn("start_tok", cum - F.col("n_tokens"))
+        # integer `div`, not float /-then-cast: exact at any magnitude
+        .withColumn("pack_id", F.expr(f"start_tok div {int(budget)}"))
+        .withColumn("pack_offset", F.col("start_tok") % int(budget))
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     fraction: float,

@@ -128,3 +128,49 @@ def test_ngram_contamination_broadcast_parity(spark):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_documents_contiguous_and_stable(spark):
+    from nuclei_feature_extraction_spark.operators.sampling import (
+        pack_documents,
+    )
+
+    rng = np.random.default_rng(8)
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "text": [
+                " ".join(f"t{j}" for j in range(rng.integers(1, 40)))
+                for _ in range(300)
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    out = pack_documents(df, budget=64, n_shard_hex=1).toPandas()
+    assert len(out) == 300
+    assert (out["pack_offset"] < 64).all() and (out["pack_offset"] >= 0).all()
+    assert (out["pack_id"] == out["start_tok"] // 64).all()
+    # per shard, in doc_id order, the token intervals are contiguous
+    for _, g in out.sort_values("doc_id").groupby("shard"):
+        expect = 0
+        for _, r in g.iterrows():
+            assert r["start_tok"] == expect
+            expect += r["n_tokens"]
+    # stable under repartitioning
+    again = (
+        pack_documents(df.repartition(7), budget=64, n_shard_hex=1)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True), again
+    )
+
+
+def test_pack_documents_rejects_bad_budget(spark):
+    from nuclei_feature_extraction_spark.operators.sampling import (
+        pack_documents,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents(df, budget=0)
