@@ -1162,14 +1162,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), c AS (
               SELECT doc_id, shard, n_tokens,
-                     SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       - n_tokens AS start_tok
+                     (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens)::BIGINT AS start_tok
               FROM t
             )
             SELECT doc_id, shard, n_tokens, start_tok,
-                   start_tok // 512 AS pack_id,
-                   start_tok % 512 AS pack_offset
+                   (start_tok // 512)::BIGINT AS pack_id,
+                   (start_tok % 512)::BIGINT AS pack_offset
             FROM c
         """,
         "prefix_cooc_full": _prefix_cooc_full_sql(),

@@ -247,7 +247,7 @@ def runlen_prefix(
     pos = _seg_pos(chg)  # 0-based position within the current run
     length = pos + 1.0
     np1 = _seg_pos(first) + 1.0
-    r = _seg_cumsum(chg.astype(np.float64), first)
+    # r (run count so far) comes out of the fused _seg_cumsum_block below
 
     with np.errstate(divide="ignore", invalid="ignore"):
         short_d = np.where(pos > 0, 1.0 / length**2 - 1.0 / (length - 1) ** 2, 1.0)

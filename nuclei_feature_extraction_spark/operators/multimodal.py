@@ -192,8 +192,13 @@ def decode_avi(blob: bytes) -> tuple[np.ndarray, float]:
     scale = rate = None
     frames: list[np.ndarray] = []
 
+    last_strh = None  # fccType of the most recent strh: an strf chunk
+    # describes the stream its strh opened, so only bind the one that
+    # follows a 'vids' strh (an audio-first AVI's first strf would
+    # otherwise be parsed as the video format block)
+
     def walk(start: int, stop: int) -> None:
-        nonlocal w, h, bpp, comp, scale, rate
+        nonlocal w, h, bpp, comp, scale, rate, last_strh
         for fourcc, off, size in _iter_riff_chunks(blob, start, stop):
             if fourcc == b"LIST":
                 walk(off + 4, off + size)
@@ -201,9 +206,11 @@ def decode_avi(blob: bytes) -> tuple[np.ndarray, float]:
                 fcc_type, _h, _f, _p, _l, _init, s, r = struct.unpack_from(
                     "<4s4sIHHIII", blob, off
                 )[:8]
+                last_strh = fcc_type
                 if fcc_type == b"vids":
                     scale, rate = s, r
-            elif fourcc == b"strf" and size >= 40 and bpp is None:
+            elif (fourcc == b"strf" and size >= 40 and bpp is None
+                  and last_strh == b"vids"):
                 _sz, _w, _h, _pl, _bpp, _comp = struct.unpack_from(
                     "<IiiHHI", blob, off
                 )

@@ -33,7 +33,15 @@ def _hex_bucket(id_col: str, seed: str) -> Column:
 
 
 def _bound_hex(cum_weight: float) -> str:
-    return format(min(int(cum_weight * _BUCKETS), _BUCKETS), "04x")
+    b = min(int(cum_weight * _BUCKETS), _BUCKETS)
+    if b >= _BUCKETS:
+        # an always-true sentinel, NOT format(65536, "04x") == '10000':
+        # a 5-char bound breaks the fixed-width lexicographic contract
+        # ('ffff' < '10000' is False), silently keeping only ~1/16 of
+        # rows. 'g' sorts after every hex char, so any 4-hex bucket
+        # compares < 'g000' in every engine.
+        return "g000"
+    return format(b, "04x")
 
 
 def with_split(

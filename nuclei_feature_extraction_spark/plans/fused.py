@@ -404,7 +404,10 @@ def build_features_fused(
             # pinned one core on many-conversation chunks)
             starts = np.flatnonzero(np.r_[True, conv_arr[1:] != conv_arr[:-1]])
             counts = np.diff(np.r_[starts, len(out)])
-            cids = conv_arr[starts].astype(pconv.dtype)
+            # natural-width str, NOT pconv.dtype: casting to the profile's
+            # fixed '<U' width would truncate longer out-of-profile ids to
+            # a prefix that can falsely match a profile id
+            cids = conv_arr[starts].astype(str)
             blo = np.repeat(np.searchsorted(pconv, cids, side="left"), counts)
             bhi = np.repeat(np.searchsorted(pconv, cids, side="right"), counts)
             lo, hi = blo.copy(), bhi.copy()

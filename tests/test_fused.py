@@ -59,6 +59,34 @@ def test_fused_text_byte_equality(spark, tiny_df, tiny_pdf):
     assert (got["text"] == want["text"]).all()
 
 
+def test_fused_long_out_of_profile_id_does_not_match(spark, tiny_pdf):
+    """Regression: an out-of-profile conv id LONGER than every profile
+    id must get null plan/score — casting to the profile array's fixed
+    '<U' width used to truncate it to a prefix that falsely matched."""
+    base = tiny_pdf[tiny_pdf["conv_id"] == tiny_pdf["conv_id"].iloc[0]].copy()
+    longer = base.copy()
+    longer["conv_id"] = base["conv_id"] + "0"  # prefix == an in-profile id
+    both = pd.concat([base, longer], ignore_index=True)
+    profile = pd.DataFrame(
+        {
+            "conv_id": [base["conv_id"].iloc[0]],
+            "effective_ts": [base["ts"].min()],
+            "plan": ["pro"],
+            "score": [0.5],
+        }
+    )
+    out = build_features_fused(
+        spark.createDataFrame(both),
+        side_profile=spark.createDataFrame(profile),
+        lags=(1,), levels=(4,),
+    ).select("conv_id", "plan", "score").toPandas()
+    short = out[out["conv_id"] == base["conv_id"].iloc[0]]
+    long_ = out[out["conv_id"] != base["conv_id"].iloc[0]]
+    assert (short["plan"] == "pro").all()
+    assert long_["plan"].isna().all(), "truncated-id false match"
+    assert long_["score"].isna().all()
+
+
 def test_fused_broadcast_fallback_matches_composable(
     spark, tiny_df, side_profile_df, side_config_df
 ):

@@ -200,6 +200,54 @@ def test_avi_corrupt_and_unsupported_fail_fast(spark):
         decode_avi(b"garbage")
 
 
+def test_avi_audio_stream_first_still_decodes():
+    """Regression: an AVI whose FIRST stream is audio must still bind
+    the VIDEO strf — the decoder used to grab the first strf chunk of
+    size >= 40 regardless of which strh opened it, parsing the audio
+    format block as the video bpp/dims."""
+    import struct
+
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        _riff_chunk,
+        _riff_list,
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(2, 4, 4, 3), dtype=np.uint8)
+    good = encode_avi(frames, 10)
+
+    # audio strl: 'auds' strh + a WAVEFORMATEX-ish strf padded to 40
+    # bytes so it passes the old size>=40 gate
+    a_strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 16000, 0, 32000, 2,
+        0xFFFFFFFF, 0, 0, 0, 0, 0,
+    )
+    a_strf = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16).ljust(40, b"\x00")
+    audio_strl = _riff_list(
+        b"strl", _riff_chunk(b"strh", a_strh) + _riff_chunk(b"strf", a_strf)
+    )
+    # splice the audio strl in front of the video strl inside hdrl
+    hdrl_type_at = good.index(b"hdrl")
+    avih_at = good.index(b"avih", hdrl_type_at)
+    video_strl_at = good.index(b"LIST", avih_at)
+    pre, post = good[:video_strl_at], good[video_strl_at:]
+    spliced = pre + audio_strl + post
+    # patch the RIFF and hdrl LIST sizes for the inserted bytes
+    delta = len(audio_strl)
+    spliced = bytearray(spliced)
+    (riff_sz,) = struct.unpack_from("<I", spliced, 4)
+    struct.pack_into("<I", spliced, 4, riff_sz + delta)
+    (hdrl_sz,) = struct.unpack_from("<I", spliced, hdrl_type_at - 4)
+    struct.pack_into("<I", spliced, hdrl_type_at - 4, hdrl_sz + delta)
+
+    back, fps = decode_avi(bytes(spliced))
+    assert np.array_equal(back, frames)
+    assert abs(fps - 10) < 1e-12
+
+
 def test_video_features_vs_numpy():
     """Feature values match a direct numpy recomputation on the decoded
     frames (motion energy, luma stats, drift)."""

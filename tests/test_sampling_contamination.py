@@ -51,6 +51,26 @@ def test_split_proportions_and_stability(spark, ids_df):
     assert (got.set_index("doc_id")["split"].sort_index() != other.sort_index()).any()
 
 
+def test_sample_fraction_one_keeps_everything(spark, ids_df):
+    """fraction=1.0 must keep every row (regression: the 65536 bound
+    used to render as 5-char '10000', which compares lexicographically
+    BELOW most 4-char buckets and silently kept only ~1/16 of rows)."""
+    assert deterministic_sample(ids_df, 1.0, seed="s0").count() == 2000
+    # near-1 fraction keeps nearly everything
+    assert deterministic_sample(ids_df, 0.9999, seed="s0").count() >= 1990
+
+
+def test_split_zero_weight_tail(spark, ids_df):
+    """Cumulative weight reaches 1.0 before the last (zero-weight)
+    label: every row must land in the earlier labels, none misassigned
+    to the dead tail by the out-of-width bound."""
+    got = with_split(
+        ids_df, weights=(("train", 0.7), ("rest", 0.3), ("dead", 0.0)), seed="s0"
+    ).toPandas()["split"]
+    assert (got != "dead").all()
+    assert set(got) == {"train", "rest"}
+
+
 def test_split_weights_must_sum_to_one(spark, ids_df):
     with pytest.raises(ValueError, match="sum to 1"):
         with_split(ids_df, weights=(("a", 0.5), ("b", 0.3)))
