@@ -67,14 +67,53 @@ def _xlogx(a: np.ndarray) -> np.ndarray:
     return np.where(a > 0, a * np.log(np.maximum(a, 1e-300)), 0.0)
 
 
+def _probe_cython_groupby():
+    """Bind pandas' cython grouped-scan kernels directly if this pandas
+    version exposes them with the expected semantics (verified by a
+    micro self-test); otherwise fall back to the public groupby API.
+    The direct path skips DataFrame/Block assembly, the NaN pre-fill of
+    the output, and the strided column extraction — together ~10× the
+    cost of the scan kernel itself (measured) — while running the SAME
+    cython loop, so results are bit-identical."""
+    try:
+        from pandas._libs.groupby import group_cummax, group_cummin, group_cumsum
+
+        out = np.empty((4, 1), dtype=np.float64)
+        labels = np.array([0, 0, 1, 1], dtype=np.intp)
+        group_cumsum(out, np.arange(4, dtype=np.float64).reshape(4, 1),
+                     labels, 2, False, True)
+        assert out.ravel().tolist() == [0.0, 1.0, 2.0, 5.0]
+        group_cummax(out, np.array([3.0, 1.0, 0.0, 2.0]).reshape(4, 1),
+                     labels, 2, False)
+        assert out.ravel().tolist() == [3.0, 3.0, 0.0, 2.0]
+        return group_cumsum, group_cummin, group_cummax
+    except Exception:  # noqa: BLE001 — any private-API drift → fallback
+        return None, None, None
+
+
+_GROUP_CUMSUM, _GROUP_CUMMIN, _GROUP_CUMMAX = _probe_cython_groupby()
+
+
+def _seg_labels(first: np.ndarray) -> tuple[np.ndarray, int]:
+    labels = np.cumsum(first).astype(np.intp)
+    labels -= 1
+    return labels, (int(labels[-1]) + 1 if len(labels) else 0)
+
+
 def _seg_cumsum(a: np.ndarray, first: np.ndarray) -> np.ndarray:
     """Cumulative sum restarting at every True in ``first``.
 
-    Implemented as a pandas groupby-cumsum (C-vectorized, per-group):
-    each segment's sum is computed independently, so float error NEVER
-    crosses conversation boundaries (a global-cumsum-minus-offset trick
-    would leak ~eps·(chunk magnitude) into early prefixes of later
-    conversations and break exact-zero guards like hx == 0)."""
+    Per-group C-vectorized scan: each segment's sum is computed
+    independently, so float error NEVER crosses conversation boundaries
+    (a global-cumsum-minus-offset trick would leak ~eps·(chunk
+    magnitude) into early prefixes of later conversations and break
+    exact-zero guards like hx == 0)."""
+    if _GROUP_CUMSUM is not None:
+        labels, ngroups = _seg_labels(first)
+        v = np.ascontiguousarray(a, dtype=np.float64).reshape(-1, 1)
+        out = np.empty_like(v)
+        _GROUP_CUMSUM(out, v, labels, ngroups, False, True)
+        return out.reshape(-1)
     seg = np.cumsum(first)
     return (
         pd.Series(np.asarray(a, dtype=np.float64))
@@ -85,17 +124,24 @@ def _seg_cumsum(a: np.ndarray, first: np.ndarray) -> np.ndarray:
 
 
 def _seg_cumsum_block(cols: Sequence[np.ndarray], first: np.ndarray) -> list[np.ndarray]:
-    """Segmented cumsum of MANY columns in ONE grouped pass: the groupby
-    machinery (hashing segment ids, building group indices) is paid
-    once for the whole (n, m) block instead of once per column —
-    measured ~m× cheaper than m ``_seg_cumsum`` calls for the kernel
-    families' 13-16 accumulator columns. Same per-segment exactness
-    guarantee as ``_seg_cumsum`` (each segment sums independently)."""
+    """Segmented cumsum of MANY columns sharing one label pass. With the
+    direct cython binding each column runs through the scan kernel as a
+    zero-copy (n, 1) view — no block transposition in, no NaN pre-fill,
+    no strided extraction out (those copies cost ~5-10× the scan itself,
+    measured). Same per-segment exactness guarantee as ``_seg_cumsum``
+    (each segment sums independently, sequential left-to-right order —
+    bit-identical to the pandas groupby path)."""
+    if _GROUP_CUMSUM is not None:
+        labels, ngroups = _seg_labels(first)
+        outs = []
+        for c in cols:
+            v = np.ascontiguousarray(c, dtype=np.float64).reshape(-1, 1)
+            out = np.empty_like(v)
+            _GROUP_CUMSUM(out, v, labels, ngroups, False, True)
+            outs.append(out.reshape(-1))
+        return outs
     seg = np.cumsum(first)
     n = len(first)
-    # F-order: pandas stores DataFrame blocks as (m, n) = block.T, so an
-    # F-ordered input makes the internal block C-contiguous — the cython
-    # cumsum and the column extraction both run ~2× faster (measured)
     block = np.empty((n, len(cols)), dtype=np.float64, order="F")
     for j, c in enumerate(cols):
         block[:, j] = c
@@ -110,11 +156,21 @@ def _seg_pos(first: np.ndarray) -> np.ndarray:
     return np.arange(n) - np.maximum.accumulate(start_idx)
 
 
+def _fuse_keys(conv: np.ndarray, key: np.ndarray) -> np.ndarray:
+    """Pack (conv, key) into one int64: a single-column groupby hashes
+    once instead of building a two-column grouper (~10× cheaper cold,
+    ~2× warm, measured). key >= -1; conv codes are dense from factorize
+    so conv·K never overflows at any realistic chunk size."""
+    k = np.asarray(key, dtype=np.int64)
+    span = int(k.max(initial=-1)) + 2
+    return np.asarray(conv, dtype=np.int64) * span + (k + 1)
+
+
 def _cumcount(conv: np.ndarray, key: np.ndarray) -> np.ndarray:
     """1-based occurrence count of (conv, key) at each row (vectorized
     pandas cumcount — C speed across all conversations at once)."""
-    df = pd.DataFrame({"c": conv, "k": key})
-    return df.groupby(["c", "k"], sort=False).cumcount().to_numpy() + 1
+    comb = _fuse_keys(conv, key)
+    return pd.Series(comb).groupby(comb).cumcount().to_numpy() + 1
 
 
 def _net_count_before(
@@ -125,8 +181,8 @@ def _net_count_before(
     multiplicity can shrink (a run moving from length l−1 to l must
     decrement the l−1 length-count). Vectorized groupby-cumsum minus the
     event's own sign; sign-0 rows are inert placeholders."""
-    df = pd.DataFrame({"c": conv, "k": key, "s": sign})
-    cs = df.groupby(["c", "k"], sort=False)["s"].cumsum().to_numpy()
+    comb = _fuse_keys(conv, key)
+    cs = pd.Series(sign).groupby(comb).cumsum().to_numpy()
     return (cs - sign).astype(np.float64)
 
 
@@ -351,11 +407,23 @@ def shape_prefix(
     # A8-A10 analogs: arc length (cumsum of segment lengths, in the
     # block above), bounding span area (segmented cummax/cummin),
     # compacity = len²/(4π·area)
-    seg = np.cumsum(first)
-    gb_u = pd.Series(u).groupby(seg)
-    gb_y = pd.Series(y).groupby(seg)
-    span_u = gb_u.cummax().to_numpy() - gb_u.cummin().to_numpy()
-    span_y = gb_y.cummax().to_numpy() - gb_y.cummin().to_numpy()
+    if _GROUP_CUMMAX is not None:
+        _labels, _ngroups = _seg_labels(first)
+        ext = np.empty((len(u), 4), dtype=np.float64, order="F")
+        for _j, (_fn, _src) in enumerate(
+            [(_GROUP_CUMMAX, u), (_GROUP_CUMMIN, u),
+             (_GROUP_CUMMAX, y), (_GROUP_CUMMIN, y)]
+        ):
+            _v = np.ascontiguousarray(_src, dtype=np.float64).reshape(-1, 1)
+            _fn(ext[:, _j].reshape(-1, 1), _v, _labels, _ngroups, False)
+        span_u = ext[:, 0] - ext[:, 1]
+        span_y = ext[:, 2] - ext[:, 3]
+    else:
+        seg = np.cumsum(first)
+        gb_u = pd.Series(u).groupby(seg)
+        gb_y = pd.Series(y).groupby(seg)
+        span_u = gb_u.cummax().to_numpy() - gb_u.cummin().to_numpy()
+        span_y = gb_y.cummax().to_numpy() - gb_y.cummin().to_numpy()
     area = span_u * span_y
     two_plus = np1 >= 2
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -375,6 +443,14 @@ def shape_prefix(
             raw[(p, q)] = csum / np1
         raw[(0, 0)] = np.ones_like(np1)
 
+        # powers of (−mean) hoisted out of `central` — it used to call
+        # ndarray ** int (expensive generic pow) 35× per chunk; computing
+        # the 5 powers once keeps results BIT-identical (same np.power
+        # kernel — successive multiplication is not: its last-bit drift
+        # gets amplified by the raw→central cancellation)
+        mup = [(-mu) ** k for k in range(5)]
+        myp = [(-my) ** k for k in range(5)]
+
         def central(p: int, q: int) -> np.ndarray:
             from math import comb
 
@@ -383,7 +459,7 @@ def shape_prefix(
                 for j in range(q + 1):
                     m = m + (
                         comb(p, i) * comb(q, j)
-                        * raw[(i, j)] * (-mu) ** (p - i) * (-my) ** (q - j)
+                        * raw[(i, j)] * mup[p - i] * myp[q - j]
                     )
             return m
 
