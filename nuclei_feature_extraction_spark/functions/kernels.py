@@ -37,6 +37,7 @@ underlying key, f(x) = x·ln x):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -477,6 +478,11 @@ def shape_prefix(
         ell_dev = np.where(
             inv_ok, np.sqrt(np.clip(er4 - 4.0, 0.0, None)), np.nan
         )
+    hull_area, hull_perim = hull_prefix(first, u, y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        hull_dev = np.where(
+            two_plus & (area > 0), 1.0 - hull_area / area, np.nan
+        )
     return {
         "pca_major": major, "pca_minor": minor,
         "pca_angle": angle, "pca_eccentricity": ecc,
@@ -484,7 +490,130 @@ def shape_prefix(
         "span_area": np.where(two_plus, area, np.nan),
         "compacity": compacity,
         "elliptic_deviation": ell_dev,
+        "hull_area": np.where(two_plus, hull_area, np.nan),
+        "hull_perimeter": np.where(two_plus, hull_perim, np.nan),
+        "hull_deviation": hull_dev,
     }
+
+
+def hull_prefix(
+    first: np.ndarray, u: np.ndarray, y: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """True prefix CONVEX HULL area and perimeter of the (u, y) scatter
+    per conversation — the real A9/A10 (reference shape.rs:93-97,
+    ``convex_hull_features``; the bounding-span ``span_area`` analog is
+    kept alongside as the extent baseline).
+
+    ``u`` is per-conversation elapsed time, so points arrive sorted by
+    x — the Andrew monotone chain is therefore INCREMENTAL: each new
+    point appends to the lower/upper chains with amortized O(1)
+    push/pop work, and the hull's trapezoid integral I = Σ(x₊−x)(y₊+y)
+    and chain edge-length sums are maintained through every push/pop,
+    so per-row emission costs O(1) — O(n) total per conversation, no
+    per-prefix recomputation.
+
+    Conventions: 2·area = I(upper) − I(lower); perimeter closes the
+    polygon with the vertical left/right extent edges, so a degenerate
+    (collinear) hull is the flat polygon — perimeter = 2·segment
+    length, area = 0. Only a run's min-y (resp. max-y) point can be a
+    lower (upper) chain vertex, so equal-x runs keep one representative
+    per chain, replaced in place when the run extremum moves."""
+    n = len(u)
+    out_area = np.empty(n, dtype=np.float64)
+    out_perim = np.empty(n, dtype=np.float64)
+    ux, yx = u.tolist(), np.asarray(y, dtype=np.float64).tolist()
+    starts = np.flatnonzero(first).tolist()
+    hypot = math.hypot
+    for si, s in enumerate(starts):
+        e = starts[si + 1] if si + 1 < len(starts) else n
+        lx: list[float] = []  # lower chain xs
+        ly: list[float] = []
+        uxs: list[float] = []  # upper chain xs
+        uys: list[float] = []
+        il = pl = iu = pu = 0.0  # trapezoid integrals, edge-length sums
+        cur_x = left_min = left_max = run_min = run_max = 0.0
+        x0 = None
+        for t in range(s, e):
+            px, py = ux[t], yx[t]
+            if x0 is None:
+                x0 = cur_x = px
+                run_min = run_max = left_min = left_max = py
+                lx.append(px); ly.append(py)
+                uxs.append(px); uys.append(py)
+            elif px > cur_x:
+                cur_x = px
+                run_min = run_max = py
+                # lower-chain push with pops (keep right turns)
+                while len(lx) >= 2 and (
+                    (lx[-1] - lx[-2]) * (py - ly[-2])
+                    - (ly[-1] - ly[-2]) * (px - lx[-2])
+                ) <= 0:
+                    il -= (lx[-1] - lx[-2]) * (ly[-1] + ly[-2])
+                    pl -= hypot(lx[-1] - lx[-2], ly[-1] - ly[-2])
+                    lx.pop(); ly.pop()
+                il += (px - lx[-1]) * (py + ly[-1])
+                pl += hypot(px - lx[-1], py - ly[-1])
+                lx.append(px); ly.append(py)
+                # upper-chain push with pops (keep left turns)
+                while len(uxs) >= 2 and (
+                    (uxs[-1] - uxs[-2]) * (py - uys[-2])
+                    - (uys[-1] - uys[-2]) * (px - uxs[-2])
+                ) >= 0:
+                    iu -= (uxs[-1] - uxs[-2]) * (uys[-1] + uys[-2])
+                    pu -= hypot(uxs[-1] - uxs[-2], uys[-1] - uys[-2])
+                    uxs.pop(); uys.pop()
+                iu += (px - uxs[-1]) * (py + uys[-1])
+                pu += hypot(px - uxs[-1], py - uys[-1])
+                uxs.append(px); uys.append(py)
+            else:  # same x as the current rightmost run
+                if cur_x == x0:
+                    if py < left_min:
+                        left_min = py
+                    if py > left_max:
+                        left_max = py
+                if py < run_min:
+                    run_min = py
+                    # replace the run's lower representative (chain
+                    # tail), then let the lower point pop further
+                    il -= (lx[-1] - lx[-2]) * (ly[-1] + ly[-2]) if len(lx) >= 2 else 0.0
+                    pl -= hypot(lx[-1] - lx[-2], ly[-1] - ly[-2]) if len(lx) >= 2 else 0.0
+                    lx.pop(); ly.pop()
+                    while len(lx) >= 2 and (
+                        (lx[-1] - lx[-2]) * (py - ly[-2])
+                        - (ly[-1] - ly[-2]) * (px - lx[-2])
+                    ) <= 0:
+                        il -= (lx[-1] - lx[-2]) * (ly[-1] + ly[-2])
+                        pl -= hypot(lx[-1] - lx[-2], ly[-1] - ly[-2])
+                        lx.pop(); ly.pop()
+                    if lx:
+                        il += (px - lx[-1]) * (py + ly[-1])
+                        pl += hypot(px - lx[-1], py - ly[-1])
+                    lx.append(px); ly.append(py)
+                elif py > run_max:
+                    run_max = py
+                    iu -= (uxs[-1] - uxs[-2]) * (uys[-1] + uys[-2]) if len(uxs) >= 2 else 0.0
+                    pu -= hypot(uxs[-1] - uxs[-2], uys[-1] - uys[-2]) if len(uxs) >= 2 else 0.0
+                    uxs.pop(); uys.pop()
+                    while len(uxs) >= 2 and (
+                        (uxs[-1] - uxs[-2]) * (py - uys[-2])
+                        - (uys[-1] - uys[-2]) * (px - uxs[-2])
+                    ) >= 0:
+                        iu -= (uxs[-1] - uxs[-2]) * (uys[-1] + uys[-2])
+                        pu -= hypot(uxs[-1] - uxs[-2], uys[-1] - uys[-2])
+                        uxs.pop(); uys.pop()
+                    if uxs:
+                        iu += (px - uxs[-1]) * (py + uys[-1])
+                        pu += hypot(px - uxs[-1], py - uys[-1])
+                    uxs.append(px); uys.append(py)
+            out_area[t] = 0.5 * (iu - il)
+            # closing edges: right extent + left extent; an all-one-x
+            # conversation is the flat polygon (perimeter = 2·extent),
+            # whose single run IS both closing edges
+            if cur_x != x0:
+                out_perim[t] = pl + pu + (run_max - run_min) + (left_max - left_min)
+            else:
+                out_perim[t] = 2.0 * (run_max - run_min)
+    return out_area, out_perim
 
 
 # ------------------------------------------------------- pandas assembly

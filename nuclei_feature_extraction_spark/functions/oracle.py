@@ -54,7 +54,45 @@ SHAPE_STATS = [
     # the squared Mahalanobis radius r² (whose fit-mean is exactly 2 in
     # 2-D), deviation = sqrt(E[(r² − 2)²])
     "elliptic_deviation",
+    # A9/A10 proper (shape.rs:93-97 convex_hull_features): true convex
+    # hull of the prefix scatter — area, perimeter (degenerate hulls are
+    # flat polygons: perimeter 2·length, area 0), and deviation = the
+    # fraction of the bounding span the hull fails to fill
+    # (1 − hull_area/span_area), the convex-defect analog
+    "hull_area", "hull_perimeter", "hull_deviation",
 ]
+
+
+def hull_metrics_naive(u: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Brute-force convex hull (Andrew monotone chain over the full
+    sorted point set) → (area, perimeter). Defines the semantics the
+    incremental kernel must match."""
+    pts = sorted(set(zip(u.tolist(), np.asarray(y, float).tolist())))
+    if len(pts) == 1:
+        return 0.0, 0.0
+
+    def _chain(seq):
+        st: list[tuple[float, float]] = []
+        for p in seq:
+            while len(st) >= 2 and (
+                (st[-1][0] - st[-2][0]) * (p[1] - st[-2][1])
+                - (st[-1][1] - st[-2][1]) * (p[0] - st[-2][0])
+            ) <= 0:
+                st.pop()
+            st.append(p)
+        return st
+
+    lower = _chain(pts)
+    upper = _chain(list(reversed(pts)))
+    hull = lower[:-1] + upper[:-1]
+    area = 0.0
+    perim = 0.0
+    for i in range(len(hull)):
+        x1, y1 = hull[i]
+        x2, y2 = hull[(i + 1) % len(hull)]
+        area += x1 * y2 - x2 * y1
+        perim += float(np.hypot(x2 - x1, y2 - y1))
+    return abs(area) / 2.0, perim
 
 
 def discretize_log(values: np.ndarray, k: int, scale: float = 4096.0) -> np.ndarray:
@@ -189,6 +227,11 @@ def shape_prefix_naive(u: np.ndarray, y: np.ndarray) -> dict[str, np.ndarray]:
         out["span_area"][t] = area
         if area > 0:
             out["compacity"][t] = out["path_len"][t] ** 2 / (4 * np.pi * area)
+        h_area, h_perim = hull_metrics_naive(uu, yy)
+        out["hull_area"][t] = h_area
+        out["hull_perimeter"][t] = h_perim
+        if area > 0:
+            out["hull_deviation"][t] = 1.0 - h_area / area
         pts = np.stack([u[: t + 1], y[: t + 1]])
         cov = np.cov(pts, bias=True)
         evals, evecs = np.linalg.eigh(cov)

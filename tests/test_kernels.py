@@ -107,6 +107,57 @@ def test_shape_prefix_matches_naive():
         start += ln
 
 
+def test_hull_prefix_ties_and_degenerates():
+    """Incremental prefix hull == brute-force monotone chain at EVERY
+    prefix, including x-tie runs (equal timestamps), duplicate points,
+    collinear streams, and convex-position (every point a hull vertex)."""
+    cases = []
+    rng = np.random.default_rng(7)
+    # heavy x-ties: only 6 distinct x over 40 points, shuffled y
+    xs = np.sort(rng.integers(0, 6, 40)).astype(float)
+    cases.append(("ties", xs, rng.random(40) * 10))
+    # duplicates: same (x, y) repeated
+    cases.append(("dups", np.array([0.0, 0, 0, 1, 1, 2, 2, 2]),
+                  np.array([1.0, 1, 1, 3, 3, 0, 0, 0])))
+    # collinear horizontal / vertical / diagonal
+    cases.append(("hline", np.arange(10.0), np.full(10, 2.0)))
+    cases.append(("vline", np.zeros(10), np.arange(10.0)))
+    cases.append(("diag", np.arange(10.0), np.arange(10.0) * 3 + 1))
+    # convex position: y = x² (every prefix point stays on the hull)
+    cases.append(("convex", np.arange(25.0), np.arange(25.0) ** 2))
+    # concave: y = -x² plus an interior cloud
+    x = np.r_[np.arange(15.0), np.arange(15.0)]
+    cases.append(("mix", np.sort(x), rng.random(30) * 5))
+    for name, u, y in cases:
+        first = np.zeros(len(u), dtype=bool)
+        first[0] = True
+        area, perim = kernels.hull_prefix(first, u, y)
+        for t in range(len(u)):
+            wa, wp = oracle.hull_metrics_naive(u[: t + 1], y[: t + 1])
+            np.testing.assert_allclose(
+                area[t], wa, rtol=1e-9, atol=1e-9,
+                err_msg=f"{name} area prefix {t}",
+            )
+            np.testing.assert_allclose(
+                perim[t], wp, rtol=1e-9, atol=1e-9,
+                err_msg=f"{name} perim prefix {t}",
+            )
+
+
+def test_hull_prefix_multi_conversation_isolation():
+    """Hull state must reset at conversation boundaries."""
+    u = np.array([0.0, 1, 2, 0, 5, 6])
+    y = np.array([0.0, 4, 0, 1, 1, 8])
+    first = np.array([True, False, False, True, False, False])
+    area, perim = kernels.hull_prefix(first, u, y)
+    wa2, wp2 = oracle.hull_metrics_naive(u[:3], y[:3])
+    np.testing.assert_allclose(area[2], wa2)
+    np.testing.assert_allclose(perim[2], wp2)
+    wa5, wp5 = oracle.hull_metrics_naive(u[3:], y[3:])
+    np.testing.assert_allclose(area[5], wa5)
+    np.testing.assert_allclose(perim[5], wp5)
+
+
 def test_compute_features_pdf_on_transcripts():
     pdf = gen_transcripts(10)
     pdf["tlen"] = pdf["text"].str.len().astype(float)
