@@ -83,6 +83,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     side_config = spark.read.parquet(args.side_config) if args.side_config else None
 
+    # physical as-of routing from the sampled hot-key share of the RAW
+    # source (sampling the feature frame would trigger the kernels):
+    # skewed keys → union-window (JVM spillable sort), uniform small
+    # groups → cogrouped merge_asof. The decision and the evidence ride
+    # into the run manifest / metrics.
+    asof_routing = None
+    if side_profile is not None:
+        from nuclei_feature_extraction_spark.operators.asof import (
+            asof_strategy_hint,
+        )
+
+        asof_routing = asof_strategy_hint(tr, "conv_id")
+
     def pipeline(src):
         return build_features(
             src,
@@ -91,6 +104,9 @@ def main(argv: list[str] | None = None) -> int:
             side_config=side_config,
             lags=tuple(args.cooc_lags),
             levels=tuple(args.cooc_levels),
+            asof_strategy=(
+                asof_routing["strategy"] if asof_routing else "union_window"
+            ),
         )
 
     if args.checkpoint_dir:
@@ -100,6 +116,8 @@ def main(argv: list[str] | None = None) -> int:
         # bucket group — a single source Observation would only see the
         # first job's rows).
         writer = CheckpointedWriter(args.checkpoint_dir, n_buckets=args.n_buckets)
+        if asof_routing is not None:
+            writer.record_run_info({"asof_routing": asof_routing})
         # snapshot what earlier runs already completed, so the reported
         # rows / rows_per_sec describe THIS run only (a resumed run must
         # not claim rows a previous process wrote, nor blend walls
@@ -124,6 +142,8 @@ def main(argv: list[str] | None = None) -> int:
             "data_dir": os.path.join(args.checkpoint_dir, "data"),
             "manifest_version": manifest["version"],
         }
+        if asof_routing is not None:
+            summary["asof_routing"] = asof_routing
         if args.metrics_out:
             with open(args.metrics_out, "w") as fh:
                 json.dump(summary, fh, indent=2)
@@ -132,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
     _, metrics = run_with_metrics(
         pipeline(tr),
         lambda d: write_features(d, args.output, overwrite=args.overwrite),
+        audits={"asof_routing": asof_routing} if asof_routing else None,
     )
     if args.metrics_out:
         metrics.write(args.metrics_out)

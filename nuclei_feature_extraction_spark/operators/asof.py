@@ -219,21 +219,35 @@ def asof_strategy_hint(
     and often faster. Crossover measured in tests/test_asof.py +
     BENCH/BASELINE.md."""
     on = [on] if isinstance(on, str) else list(on)
-    s = left.select(*on)
-    if sample_fraction < 1.0:
-        s = s.sample(fraction=sample_fraction, seed=seed)
-    row = (
-        s.groupBy(*on)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
-        .collect()[0]
-    )
+
+    def _measure(fraction: float):
+        s = left.select(*on)
+        if fraction < 1.0:
+            s = s.sample(fraction=fraction, seed=seed)
+        return (
+            s.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+            .collect()[0]
+        )
+
+    row = _measure(sample_fraction)
+    # a too-small sample can't witness skew; small tables are cheap to
+    # scan fully, so fall back to an exact measurement
+    if sample_fraction < 1.0 and (row["tot"] or 0) < 1000:
+        sample_fraction = 1.0
+        row = _measure(1.0)
     if not row["tot"]:
-        return {"strategy": "union_window", "hot_key_share": 0.0}
+        return {
+            "strategy": "union_window",
+            "hot_key_share": 0.0,
+            "sample_fraction": sample_fraction,
+        }
     share = float(row["mx"]) / float(row["tot"])
     return {
         "strategy": "union_window" if share >= skew_share else "cogrouped",
         "hot_key_share": round(share, 4),
+        "sample_fraction": sample_fraction,
     }
 
 
@@ -244,6 +258,7 @@ def asof_join_cogrouped(
     left_ts: str = "ts",
     right_ts: str = "effective_ts",
     value_cols: Sequence[str] | None = None,
+    tie_cols: Sequence[str] = (),
     tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of via cogroup + ``pd.merge_asof`` per key group (Arrow path).
@@ -272,7 +287,10 @@ def asof_join_cogrouped(
             for c in vcols:
                 out[c] = None
             return out[lcols + vcols]
-        rg = rg.sort_values(right_ts, kind="mergesort")
+        # secondary sort on tie_cols: merge_asof(backward) takes the
+        # LAST equal-ts row, so ascending tie order makes the greatest
+        # tie tuple win — same determinism contract as asof_join
+        rg = rg.sort_values([right_ts, *tie_cols], kind="mergesort")
         merged = pd.merge_asof(
             lg,
             rg[[right_ts, *vcols]],

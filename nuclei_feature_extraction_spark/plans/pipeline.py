@@ -27,6 +27,7 @@ from nuclei_feature_extraction_spark.functions.kernels import (
 from nuclei_feature_extraction_spark.operators.asof import (
     asof_join,
     asof_join_broadcast,
+    asof_join_cogrouped,
 )
 from nuclei_feature_extraction_spark.operators.sessionize import sessionize
 from nuclei_feature_extraction_spark.operators.windows import (
@@ -53,6 +54,7 @@ def build_features(
     leads: Sequence[int] = (),
     audit: bool = True,
     num_partitions: int | None = None,
+    asof_strategy: str = "union_window",
 ) -> DataFrame:
     """Full feature frame over a transcript table
     ``(conv_id, turn_idx, role, text, tool, ts)``.
@@ -102,14 +104,33 @@ def build_features(
         )
 
     if side_profile is not None:
-        out = asof_join(
-            out,
-            side_profile,
-            on="conv_id",
-            left_ts="ts",
-            right_ts="effective_ts",
-            tie_cols=("plan",),
-        )
+        # physical routing per asof_strategy_hint: 'union_window' (JVM
+        # spillable sort, safe for hot keys) vs 'cogrouped' (pandas
+        # merge_asof per key — faster for many small uniform groups,
+        # OOM risk on a giant key). Callers pick via the sampled hint.
+        if asof_strategy == "cogrouped":
+            out = asof_join_cogrouped(
+                out,
+                side_profile,
+                on="conv_id",
+                left_ts="ts",
+                right_ts="effective_ts",
+                tie_cols=("plan",),
+            )
+        elif asof_strategy == "union_window":
+            out = asof_join(
+                out,
+                side_profile,
+                on="conv_id",
+                left_ts="ts",
+                right_ts="effective_ts",
+                tie_cols=("plan",),
+            )
+        else:
+            raise ValueError(
+                f"unknown asof_strategy {asof_strategy!r} "
+                "(expected 'union_window' or 'cogrouped')"
+            )
     if side_config is not None:
         out = asof_join_broadcast(
             out, side_config, left_ts="ts", right_ts="effective_ts"

@@ -65,6 +65,16 @@ class CheckpointedWriter:
     def completed_buckets(self) -> set[int]:
         return {int(b) for b in self.load_manifest()["completed"]}
 
+    def record_run_info(self, info: dict) -> None:
+        """Merge job-level routing/telemetry (e.g. the sampled as-of
+        strategy decision) into the manifest so every resumable run
+        carries the evidence for its physical-plan choices."""
+        manifest = self.load_manifest()
+        self._check_manifest(manifest)
+        manifest.setdefault("run_info", {}).update(info)
+        manifest["version"] += 1
+        self._save_manifest(manifest)
+
     # --------------------------------------------------------------- run
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:

@@ -90,3 +90,91 @@ def test_backfill_cli_checkpointed_rows_from_manifest(spark, tmp_path, tiny_pdf)
     m = _json.load(open(mpath))
     assert m["rows"] == len(tiny_pdf)
     assert spark.read.parquet(m["data_dir"]).count() == len(tiny_pdf)
+
+
+def test_backfill_asof_routing_in_manifest(spark, tmp_path, tiny_pdf):
+    """The job samples the hot-key share, routes the profile as-of join
+    (skewed → union_window, uniform → cogrouped), and records the
+    decision + evidence in the checkpoint manifest and summary."""
+    import json as _json
+
+    import pandas as pd
+
+    import jobs.run_backfill as job
+
+    prof = pd.DataFrame(
+        {
+            "conv_id": sorted(tiny_pdf["conv_id"].unique()),
+            "effective_ts": tiny_pdf["ts"].min(),
+            "plan": "pro",
+            "score": 0.5,
+        }
+    )
+    ppath = str(tmp_path / "prof.parquet")
+    spark.createDataFrame(prof).write.parquet(ppath)
+
+    # uniform: every conversation truncated to ≤3 turns (max share ~2%);
+    # skewed: one conversation holds >half the rows
+    uniform = tiny_pdf.groupby("conv_id", sort=False).head(3).reset_index(drop=True)
+    hot = tiny_pdf.copy()
+    hot["conv_id"] = "conv-hot"
+    skewed = pd.concat([tiny_pdf, hot, hot], ignore_index=True)
+    for name, pdf, expect in (
+        ("uniform", uniform, "cogrouped"),
+        ("skewed", skewed, "union_window"),
+    ):
+        src = str(tmp_path / f"tr_{name}.parquet")
+        spark.createDataFrame(pdf).write.parquet(src)
+        ck = str(tmp_path / f"ck_{name}")
+        mpath = str(tmp_path / f"m_{name}.json")
+        rc = job.main(
+            ["--transcripts", src, "--checkpoint-dir", ck, "--n-buckets", "2",
+             "--side-profile", ppath,
+             "--feature-sets", "session", "--metrics-out", mpath]
+        )
+        assert rc == 0
+        m = _json.load(open(mpath))
+        assert m["asof_routing"]["strategy"] == expect, (name, m["asof_routing"])
+        manifest = _json.load(open(ck + "/_manifest.json"))
+        assert manifest["run_info"]["asof_routing"]["strategy"] == expect
+        got = spark.read.parquet(m["data_dir"])
+        assert got.count() == len(pdf)
+        assert "plan" in got.columns
+        assert got.filter(got["plan"].isNotNull()).count() > 0
+
+
+def test_spark_submit_py_files_zip(tmp_path):
+    """The north-rule launch path: ``spark-submit --py-files dist/nfx.zip``
+    with the job script OUTSIDE the repo, so the package import can only
+    be satisfied by the shipped zip (running from the repo root would
+    silently fall back to the source tree)."""
+    import shutil
+    import subprocess
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import package
+
+    zip_path = package.main()
+    script = str(tmp_path / "run_backfill.py")
+    shutil.copy(os.path.join(REPO, "jobs", "run_backfill.py"), script)
+    out = str(tmp_path / "features.parquet")
+    d = fixtures_dir("tiny")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    env.pop("PYTHONPATH", None)  # the zip must be the only package source
+    res = subprocess.run(
+        [
+            "spark-submit", "--master", "local[2]",
+            "--py-files", zip_path,
+            script,
+            "--transcripts", os.path.join(d, "transcripts.parquet"),
+            "--output", out,
+            "--feature-sets", "session",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
+    )
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-3000:])
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["rows"] > 0
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(out).num_rows == summary["rows"]
