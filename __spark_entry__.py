@@ -582,6 +582,52 @@ def _prefix_cooc_full_sql() -> str:
         """
 
 
+def q_prefix_xcooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-signal prefix co-occurrence (the 2-D direction analog of
+    texture.rs:19's image offsets) through the real kernel: pair
+    (event_type_{t-1}, value_level_t) per user — "what happened last ×
+    how big is this". Event types ride in as role strings so the kernel
+    path is the production one (role lag-d × tlen level). Only
+    exact-integer-accumulator stats are oracle-hashed; entropy/hx/hy/mi
+    are pytest-allclose-verified (float accumulation order differs
+    across engines)."""
+    from nuclei_feature_extraction_spark.functions.kernels import prefix_features
+
+    ev = _events(spark, sf_dir)
+    w = _user_window()
+    tr = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        # event_type → the kernel's role axis (ROLE_IDX order), so
+        # a = {click:0, error:1, purchase:2, signup:3, view:4}
+        F.expr(
+            "CASE event_type WHEN 'click' THEN 'user' "
+            "WHEN 'error' THEN 'assistant' WHEN 'purchase' THEN 'tool' "
+            "WHEN 'signup' THEN 'system' ELSE 'other' END"
+        ).alias("role"),
+        F.expr("repeat('x', cast(greatest(floor(value * 10), 0) as int))").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+        "event_id",
+    )
+    feats = prefix_features(tr, families=("xcooc",), lags=(1,), levels=(4,))
+    keyed = tr.select("conv_id", "turn_idx", "event_id").join(
+        feats, on=["conv_id", "turn_idx"]
+    )
+    sel = [
+        "contrast", "dissimilarity", "mean_a", "mean_b", "correlation", "asm",
+    ]
+    return keyed.select(
+        "event_id",
+        *[
+            (F.round(_nan_to_null(f"xcooc_{st}_d1"), 6) + F.lit(0.0)).alias(
+                f"xcooc_{st}"
+            )
+            for st in sel
+        ],
+    )
+
+
 def q_prefix_runlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix run-length stats (tlen level-4 stream) through the real
     kernel, vs an independent SQL window implementation."""
@@ -801,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "prefix_cooc": q_prefix_cooc,
+        "prefix_xcooc": q_prefix_xcooc,
         "prefix_cooc_full": q_prefix_cooc_full,
         "prefix_runlen": q_prefix_runlen,
         "minhash_pairs": q_minhash_pairs,
@@ -1170,6 +1217,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, n_tokens, start_tok,
                    (start_tok // 512)::BIGINT AS pack_id,
                    (start_tok % 512)::BIGINT AS pack_offset
+            FROM c
+        """,
+        "prefix_xcooc": """
+            WITH lv AS (
+              SELECT event_id, user_id, ts,
+                     CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                          WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                          ELSE 4 END AS a,
+                     least(3, greatest(0, CAST(floor(ln(1.0 + greatest(floor(value * 10.0), 0)) / ln(4097.0) * 4) AS INT))) AS b
+              FROM events
+            ), tr AS (
+              SELECT event_id, user_id, ts,
+                     lag(a) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+                     b AS j
+              FROM lv
+            ), v AS (
+              SELECT *, CASE WHEN i IS NOT NULL THEN
+                       row_number() OVER (PARTITION BY user_id, i, j
+                                          ORDER BY ts, event_id) END AS u
+              FROM tr
+            ), c AS (
+              SELECT event_id,
+                     SUM(CASE WHEN i IS NULL THEN 0 ELSE 1 END) OVER wf AS s,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 1.0*(i-j)*(i-j) END) OVER wf AS con_c,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 1.0*abs(i-j) END) OVER wf AS dis_c,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 1.0*i END) OVER wf AS ai_c,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 1.0*j END) OVER wf AS bj_c,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 1.0*i*i END) OVER wf AS i2_c,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 1.0*j*j END) OVER wf AS j2_c,
+                     SUM(CASE WHEN i IS NULL THEN 0.0 ELSE 1.0*i*j END) OVER wf AS ij_c,
+                     SUM(CASE WHEN u IS NULL THEN 0.0 ELSE 2.0*u-1.0 END) OVER wf AS c2_c
+              FROM v
+              WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id,
+              round(CASE WHEN s > 0 THEN con_c/s END, 6) + 0.0 AS xcooc_contrast,
+              round(CASE WHEN s > 0 THEN dis_c/s END, 6) + 0.0 AS xcooc_dissimilarity,
+              round(CASE WHEN s > 0 THEN ai_c/s END, 6) + 0.0 AS xcooc_mean_a,
+              round(CASE WHEN s > 0 THEN bj_c/s END, 6) + 0.0 AS xcooc_mean_b,
+              round(CASE WHEN s > 0
+                         AND (i2_c/s - (ai_c/s)*(ai_c/s)) * (j2_c/s - (bj_c/s)*(bj_c/s)) > 1e-9
+                    THEN (ij_c/s - (ai_c/s)*(bj_c/s))
+                         / sqrt((i2_c/s - (ai_c/s)*(ai_c/s)) * (j2_c/s - (bj_c/s)*(bj_c/s)))
+                    END, 6) + 0.0 AS xcooc_correlation,
+              round(CASE WHEN s > 0 THEN c2_c/(s*s) END, 6) + 0.0 AS xcooc_asm
             FROM c
         """,
         "prefix_cooc_full": _prefix_cooc_full_sql(),

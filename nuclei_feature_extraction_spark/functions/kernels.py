@@ -47,6 +47,7 @@ from nuclei_feature_extraction_spark.functions.oracle import (
     COOC_STATS,
     RUNLEN_STATS,
     SHAPE_STATS,
+    XCOOC_STATS,
     discretize_log,
 )
 
@@ -279,6 +280,80 @@ def cooc_prefix(
     nan = np.nan
     for s in out:
         out[s] = np.where(ok, out[s], nan)
+    return out
+
+
+def xcooc_prefix(
+    conv: np.ndarray, first: np.ndarray, a: np.ndarray, b: np.ndarray, d: int
+) -> dict[str, np.ndarray]:
+    """CROSS-signal prefix co-occurrence — the 2-D direction analog of
+    the reference's GLCM offsets (texture.rs:19: four (dy, dx) image
+    directions). A transcript has one axis per SIGNAL instead of two
+    spatial axes, so the second direction is a second signal: count the
+    joint pairs (a_{t−d}, b_t) over the prefix and emit stats of that
+    ASYMMETRIC cross matrix C[i, j] (no symmetrization — unlike the
+    within-signal GLCM, (i, j) and (j, i) are different events here).
+
+    Same O(n) incremental machinery as ``cooc_prefix``: per-row deltas
+    for the moment accumulators, occurrence-count identities for the
+    quadratic/entropy terms (Δ Σc² = 2u−1, Δ Σ c ln c = f(u) − f(u−1)
+    with u the 1-based running count of the key), one fused segmented
+    cumsum. Stats: contrast, dissimilarity, marginal means, Pearson
+    correlation of (i, j), ASM, joint entropy, marginal entropies
+    hx/hy, and mutual information mi = hx + hy − H."""
+    n = len(a)
+    pos = _seg_pos(first)
+    valid = pos >= d
+    i = np.where(valid, a[np.maximum(np.arange(n) - d, 0)], 0).astype(np.int64)
+    j = np.where(valid, np.asarray(b, dtype=np.int64), 0)
+    w = valid.astype(np.float64)
+    kb = int(j.max(initial=0)) + 1
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pairkey = np.where(valid, i * kb + j, -1)
+        u = _cumcount(conv, pairkey).astype(np.float64)
+        ua = _cumcount(conv, np.where(valid, i, -1)).astype(np.float64)
+        ub = _cumcount(conv, np.where(valid, j, -1)).astype(np.float64)
+        fi, fj = i.astype(np.float64), j.astype(np.float64)
+        zero = np.zeros(n)
+        (
+            s, c_con, c_dis, c_i, c_j, c_i2, c_j2, c_ij,
+            c2, clogc, aloga, blogb,
+        ) = _seg_cumsum_block(
+            [
+                w, w * (fi - fj) ** 2, w * np.abs(fi - fj),
+                w * fi, w * fj, w * fi * fi, w * fj * fj, w * fi * fj,
+                np.where(valid, 2 * u - 1, zero),
+                np.where(valid, _xlogx(u) - _xlogx(u - 1), zero),
+                np.where(valid, _xlogx(ua) - _xlogx(ua - 1), zero),
+                np.where(valid, _xlogx(ub) - _xlogx(ub - 1), zero),
+            ],
+            first,
+        )
+        ok = s > 0
+        safe_s = np.where(ok, s, 1.0)
+        contrast = c_con / safe_s
+        dissim = c_dis / safe_s
+        mean_a, mean_b = c_i / safe_s, c_j / safe_s
+        var_a = c_i2 / safe_s - mean_a**2
+        var_b = c_j2 / safe_s - mean_b**2
+        cov = c_ij / safe_s - mean_a * mean_b
+        denom = var_a * var_b
+        corr = np.where(denom > 1e-9, cov / np.sqrt(np.where(denom > 0, denom, 1.0)), np.nan)
+        asm = c2 / safe_s**2
+        entropy = np.log(safe_s) - clogc / safe_s
+        hx = np.log(safe_s) - aloga / safe_s
+        hy = np.log(safe_s) - blogb / safe_s
+        mi = hx + hy - entropy
+
+    out = {
+        "contrast": contrast, "dissimilarity": dissim,
+        "mean_a": mean_a, "mean_b": mean_b, "correlation": corr,
+        "asm": asm, "entropy": entropy, "hx": hx, "hy": hy, "mi": mi,
+    }
+    nan = np.nan
+    for k_ in out:
+        out[k_] = np.where(ok, out[k_], nan)
     return out
 
 
@@ -619,7 +694,7 @@ def hull_prefix(
 # ------------------------------------------------------- pandas assembly
 
 def feature_names(
-    families: Sequence[str] = ("cooc", "runlen", "shape"),
+    families: Sequence[str] = ("cooc", "runlen", "xcooc", "shape"),
     lags: Sequence[int] = DEFAULT_LAGS,
     levels: Sequence[int] = DEFAULT_LEVELS,
 ) -> list[str]:
@@ -631,6 +706,9 @@ def feature_names(
     if "runlen" in families:
         for sig in RUNLEN_SIGNALS:
             names += [f"runlen_{s}_{sig}" for s in RUNLEN_STATS]
+    if "xcooc" in families:
+        for d in lags:
+            names += [f"xcooc_{s}_d{d}" for s in XCOOC_STATS]
     if "shape" in families:
         names += [f"shape_{s}" for s in SHAPE_STATS]
     return names
@@ -638,7 +716,7 @@ def feature_names(
 
 def compute_features_pdf(
     pdf: pd.DataFrame,
-    families: Sequence[str] = ("cooc", "runlen", "shape"),
+    families: Sequence[str] = ("cooc", "runlen", "xcooc", "shape"),
     lags: Sequence[int] = DEFAULT_LAGS,
     levels: Sequence[int] = DEFAULT_LEVELS,
     conv_col: str = "conv_id",
@@ -690,6 +768,15 @@ def compute_features_pdf(
             stats = runlen_prefix(conv, first, arr, RUNLEN_N_LEVELS[sig])
             for s, v in stats.items():
                 block[slot[f"runlen_{s}_{sig}"]] = v
+    if "xcooc" in families:
+        # cross-signal direction: who spoke d turns ago × how long the
+        # current turn is (role lag-d against the level-4 tlen stream)
+        role_x = pdf["role"].map(ROLE_IDX).fillna(4).to_numpy(dtype=np.int64)
+        tlen4_x = discretize_log(tlen, 4)
+        for d in lags:
+            stats = xcooc_prefix(conv, first, role_x, tlen4_x, d)
+            for s, v in stats.items():
+                block[slot[f"xcooc_{s}_d{d}"]] = v
     if "shape" in families:
         ts_s = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64) / 1e9
         t0 = ts_s[np.maximum.accumulate(np.where(first, np.arange(n), 0))]
@@ -716,7 +803,7 @@ def compute_features_pdf(
 
 def prefix_features(
     df,
-    families: Sequence[str] = ("cooc", "runlen", "shape"),
+    families: Sequence[str] = ("cooc", "runlen", "xcooc", "shape"),
     lags: Sequence[int] = DEFAULT_LAGS,
     levels: Sequence[int] = DEFAULT_LEVELS,
     conv_col: str = "conv_id",

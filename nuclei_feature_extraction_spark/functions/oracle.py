@@ -44,6 +44,12 @@ RUNLEN_STATS = [
     "rln", "srlge", "srhge", "srmge", "srege",
     "lrlge", "lrhge", "lrmge", "lrege",
 ]
+XCOOC_STATS = [
+    # cross-signal (2-D direction analog) co-occurrence of the
+    # ASYMMETRIC pair matrix C[i, j] = #{t: a_{t-d} = i, b_t = j}
+    "contrast", "dissimilarity", "mean_a", "mean_b", "correlation",
+    "asm", "entropy", "hx", "hy", "mi",
+]
 SHAPE_STATS = [
     "pca_major", "pca_minor", "pca_angle", "pca_eccentricity",
     # A8-A10 analogs: trajectory arc length (perimeter, shape.rs:89-92),
@@ -210,6 +216,46 @@ def runlen_prefix_naive(x: np.ndarray, n_levels: int = 4) -> dict[str, np.ndarra
         out["lrhge"][t] = (longw * high).sum() / r
         out["lrmge"][t] = (longw * midw).sum() / r
         out["lrege"][t] = (longw * extw).sum() / r
+    return out
+
+
+def xcooc_prefix_naive(
+    a: np.ndarray, b: np.ndarray, d: int
+) -> dict[str, np.ndarray]:
+    """Brute-force cross co-occurrence: rebuild the full (a_{t-d}, b_t)
+    pair matrix at every prefix. Defines the semantics of
+    ``kernels.xcooc_prefix``."""
+    n = len(a)
+    out = {s: np.full(n, np.nan) for s in XCOOC_STATS}
+    for t in range(n):
+        if t < d:
+            continue
+        ii = np.asarray(a[: t + 1 - d], dtype=np.int64)
+        jj = np.asarray(b[d : t + 1], dtype=np.int64)
+        pairs = {}
+        for i_, j_ in zip(ii.tolist(), jj.tolist()):
+            pairs[(i_, j_)] = pairs.get((i_, j_), 0) + 1
+        s_tot = float(len(ii))
+        c = np.array(list(pairs.values()), dtype=np.float64)
+        keys = np.array(list(pairs.keys()), dtype=np.float64)
+        ki, kj = keys[:, 0], keys[:, 1]
+        p = c / s_tot
+        out["contrast"][t] = float((p * (ki - kj) ** 2).sum())
+        out["dissimilarity"][t] = float((p * np.abs(ki - kj)).sum())
+        ma, mb = float((p * ki).sum()), float((p * kj).sum())
+        out["mean_a"][t], out["mean_b"][t] = ma, mb
+        va = float((p * ki**2).sum()) - ma**2
+        vb = float((p * kj**2).sum()) - mb**2
+        cov = float((p * ki * kj).sum()) - ma * mb
+        if va * vb > 1e-9:
+            out["correlation"][t] = cov / np.sqrt(va * vb)
+        out["asm"][t] = float((p**2).sum())
+        out["entropy"][t] = float(-(p * np.log(p)).sum())
+        pa = np.array([c[ki == v].sum() for v in np.unique(ki)]) / s_tot
+        pb = np.array([c[kj == v].sum() for v in np.unique(kj)]) / s_tot
+        out["hx"][t] = float(-(pa * np.log(pa)).sum())
+        out["hy"][t] = float(-(pb * np.log(pb)).sum())
+        out["mi"][t] = out["hx"][t] + out["hy"][t] - out["entropy"][t]
     return out
 
 

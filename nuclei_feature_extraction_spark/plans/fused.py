@@ -329,7 +329,7 @@ def build_features_fused(
         )
     bc = spark.sparkContext.broadcast((profile_arrays, cfg_arrays))
 
-    kcols = feature_names(("cooc", "runlen", "shape"), lags, levels)
+    kcols = feature_names(("cooc", "runlen", "xcooc", "shape"), lags, levels)
     fields = (
         list(df.schema.fields)
         + [T.StructField("tlen", T.DoubleType(), True)]
@@ -383,7 +383,7 @@ def build_features_fused(
     def process(chunk: pd.DataFrame) -> pd.DataFrame:
         prof, cfg = bc.value
         base = compute_features_pdf(
-            chunk, ("cooc", "runlen", "shape"), lags, levels, passthrough=True
+            chunk, ("cooc", "runlen", "xcooc", "shape"), lags, levels, passthrough=True
         )
         win = _window_features_pdf(base, gap_minutes)
         # column-wise adoption instead of pd.concat(axis=1): concat

@@ -41,7 +41,7 @@ from nuclei_feature_extraction_spark.operators.windows import (
 from nuclei_feature_extraction_spark.plans.leakage import audit_no_future_frames
 from nuclei_feature_extraction_spark.plans.registry import expand_feature_sets
 
-KERNEL_FAMILIES = ("cooc", "runlen", "shape")
+KERNEL_FAMILIES = ("cooc", "runlen", "xcooc", "shape")
 
 
 def build_features(

@@ -67,6 +67,11 @@ FEATURE_REGISTRY: dict[str, FeatureSetSpec] = {
             "(GLRLM analog, texture.rs:174-301)",
         ),
         FeatureSetSpec(
+            "xcooc", "kernel",
+            "cross-signal prefix co-occurrence (role lag-d × tlen level) "
+            "— the 2-D direction analog of texture.rs:19 offsets",
+        ),
+        FeatureSetSpec(
             "shape", "kernel",
             "prefix PCA of (elapsed, signal) scatter "
             "(shape.rs:141-207 analog)",
@@ -78,10 +83,10 @@ ALIASES: dict[str, list[str]] = {
     # reference: All → every concrete set (args.rs:34-41)
     "all": [
         "session", "laglead", "rolling", "masked", "circular", "bank",
-        "gabor", "cooc", "runlen", "shape",
+        "gabor", "cooc", "runlen", "xcooc", "shape",
     ],
     # reference: Texture → glcm glrlm gabor (args.rs:42-49)
-    "texture": ["cooc", "runlen", "bank", "gabor"],
+    "texture": ["cooc", "runlen", "xcooc", "bank", "gabor"],
     "window": ["session", "laglead", "rolling", "masked", "circular"],
 }
 

@@ -232,3 +232,43 @@ def test_prefix_features_batch_stitching(spark, tiny_df, tiny_pdf):
         want["runlen_gln_role"].to_numpy(),
         rtol=1e-9, equal_nan=True,
     )
+
+
+def test_xcooc_prefix_matches_naive():
+    """Cross-signal co-occurrence (role lag-d × level stream) ==
+    brute-force pair-matrix rebuild at every prefix, per conversation."""
+    lengths = [1, 3, 25, 50]
+    conv, first = _codes_first(len(lengths), lengths)
+    a = RNG.integers(0, 5, len(conv))
+    b = RNG.integers(0, 4, len(conv))
+    for d in (1, 2):
+        got = kernels.xcooc_prefix(conv, first, a, b, d)
+        start = 0
+        for ln in lengths:
+            seg = slice(start, start + ln)
+            want = oracle.xcooc_prefix_naive(a[seg], b[seg], d)
+            for s in oracle.XCOOC_STATS:
+                np.testing.assert_allclose(
+                    got[s][seg], want[s], rtol=1e-9, atol=1e-9, equal_nan=True,
+                    err_msg=f"stat={s} d={d} seg@{start}",
+                )
+            start += ln
+
+
+def test_xcooc_mi_nonnegative_and_independent_zero():
+    """MI of an independent pair ~0; MI of b == deterministic f(a) equals
+    the marginal entropy of b (sanity on the identity mi = hx + hy − H)."""
+    n = 4000
+    conv = np.zeros(n, dtype=np.int64)
+    first = np.zeros(n, dtype=bool); first[0] = True
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 4, n)
+    # deterministic coupling at lag 1: b_t = a_{t-1} % 3
+    b = np.roll(a, 1) % 3
+    got = kernels.xcooc_prefix(conv, first, a, b, 1)
+    assert abs(got["mi"][-1] - got["hy"][-1]) < 1e-9
+    # independent
+    b2 = rng.integers(0, 3, n)
+    got2 = kernels.xcooc_prefix(conv, first, a, b2, 1)
+    assert got2["mi"][-1] < 0.01
+    assert got2["mi"][-1] > -1e-9

@@ -17,8 +17,8 @@ def test_registry_alias_expansion_and_dedup():
     assert expand_feature_sets(["all"]) == ALIASES["all"]
     # reference bug fixed: 'texture cooc' must not compute cooc twice
     # (args.rs:35-49 has no dedup)
-    assert expand_feature_sets(["texture", "cooc"]) == ["cooc", "runlen", "bank", "gabor"]
-    assert expand_feature_sets(["cooc", "texture"]) == ["cooc", "runlen", "bank", "gabor"]
+    assert expand_feature_sets(["texture", "cooc"]) == ["cooc", "runlen", "xcooc", "bank", "gabor"]
+    assert expand_feature_sets(["cooc", "texture"]) == ["cooc", "runlen", "xcooc", "bank", "gabor"]
     with pytest.raises(ValueError, match="unknown feature set"):
         expand_feature_sets(["nope"])
     assert set(ALIASES["all"]) == set(FEATURE_REGISTRY)
