@@ -311,6 +311,40 @@ def kmeans_refine(
     return centroids
 
 
+def ivf_list_stats(assigned: DataFrame, n_centroids: int,
+                   cell_col: str = "ivf_cell") -> dict:
+    """Audit the inverted-list size distribution (one aggregate job):
+    skewed lists mean one probe task scans a disproportionate corpus
+    share and recall varies by region — unbalanced centroid seeds must
+    surface in run manifests, never stay silent (same policy as the LSH
+    bucket-cap audit, ``dedup.lsh_bucket_stats``)."""
+    row = (
+        assigned.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nonempty_cells"),
+            F.max("n").alias("max_list"),
+            F.min("n").alias("min_list"),
+            F.sum("n").alias("total"),
+        )
+        .collect()[0]
+    )
+    total = int(row["total"] or 0)
+    nonempty = int(row["n_nonempty_cells"] or 0)
+    mean_list = total / n_centroids if n_centroids else 0.0
+    return {
+        "n_centroids": int(n_centroids),
+        "n_nonempty_cells": nonempty,
+        "n_empty_cells": int(n_centroids) - nonempty,
+        "max_list": int(row["max_list"] or 0),
+        "min_list": int(row["min_list"] or 0),
+        # >1 = imbalance factor of the hottest list vs perfect balance
+        "max_over_mean": round(float(row["max_list"] or 0) / mean_list, 4)
+        if mean_list
+        else 0.0,
+    }
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -323,6 +357,7 @@ def ivf_topk(
     centroids: np.ndarray | None = None,
     kmeans_iters: int = 0,
     broadcast_queries: bool = True,
+    audit: dict | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: coarse-quantize the corpus
     into ``n_centroids`` inverted lists, probe the ``nprobe`` lists
@@ -346,6 +381,8 @@ def ivf_topk(
     if kmeans_iters:
         centroids = kmeans_refine(df, centroids, kmeans_iters, vec_col)
     base = ivf_assign(df, centroids, vec_col)
+    if audit is not None:
+        audit.update({"ivf_lists": ivf_list_stats(base, len(centroids))})
 
     probes = (
         ivf_probe_cells(queries, centroids, nprobe, vec_col)

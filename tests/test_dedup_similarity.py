@@ -489,3 +489,53 @@ def test_kmeans_refine_improves_recall_on_planted_clusters(spark):
     r_seed, r_ref = recall_at_1(seeds), recall_at_1(refined)
     assert r_ref >= r_seed
     assert r_ref >= 0.9  # well-separated planted clusters: near-perfect
+
+
+def test_ivf_list_size_telemetry_on_skewed_corpus(spark, tmp_path):
+    """Unbalanced centroid seeds must surface: a corpus with 90% of mass
+    in one cluster yields a hot inverted list, visible in the audit and
+    persisted in the run-metrics manifest (the LSH bucket-audit policy
+    applied to IVF)."""
+    import json
+
+    from nuclei_feature_extraction_spark.lineage import RunMetrics
+    from nuclei_feature_extraction_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    hot = rng.standard_normal(8) * 4
+    cold = rng.standard_normal((9, 8)) * 4
+    vecs = np.vstack(
+        [hot + rng.standard_normal((360, 8)) * 0.2]
+        + [c + rng.standard_normal((5, 8)) * 0.2 for c in cold]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(vecs)),
+             "embedding": [list(map(float, v)) for v in vecs]}
+        )
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "embedding": [list(map(float, hot))]})
+    )
+    audit = {}
+    # seed centroids = the true cluster centers, so the hot cluster's
+    # mass lands in ONE inverted list (deterministic skew)
+    seeds = np.vstack([hot, cold[:7]])
+    got = ivf_topk(
+        df, queries, k=3, n_centroids=8, nprobe=8, centroids=seeds,
+        audit=audit,
+    )
+    assert got.count() == 3
+    st = audit["ivf_lists"]
+    assert st["n_centroids"] == 8
+    assert st["max_list"] >= 300  # the hot cluster dominates one list
+    assert st["max_over_mean"] > 4.0  # imbalance factor is loud
+    assert st["n_nonempty_cells"] + st["n_empty_cells"] == 8
+    # rides into the serialized run manifest verbatim
+    m = RunMetrics(
+        rows=3, wall_seconds=0.1, rows_per_sec=30.0, null_keys=0,
+        min_ts="", max_ts="", audits=audit,
+    )
+    path = m.write(str(tmp_path))
+    on_disk = json.load(open(path))
+    assert on_disk["audits"]["ivf_lists"]["max_list"] == st["max_list"]
