@@ -114,3 +114,34 @@ def test_fused_broadcast_fallback_matches_composable(
             ), f"column {c} diverges under fallback"
         else:
             assert (a.fillna("∅").astype(str) == b.fillna("∅").astype(str)).all(), c
+
+
+def test_fused_full_reference_grid_parity(spark, tiny_df, side_profile_df, side_config_df):
+    """Fused == composable at the COMPLETE reference-class grid
+    (texture.rs:19-20: d∈{1,2,3,5} × K∈{4,8,16,32}) — the width used by
+    tools/fullwidth_bench.py; parity must hold there, not only at the
+    small default grid."""
+    lags, levels = (1, 2, 3, 5), (4, 8, 16, 32)
+    fused = _sorted(
+        build_features_fused(
+            tiny_df, side_profile=side_profile_df, side_config=side_config_df,
+            lags=lags, levels=levels,
+        ).toPandas()
+    )
+    comp = _sorted(
+        build_features(
+            tiny_df, ["all"], side_profile=side_profile_df,
+            side_config=side_config_df, lags=lags, levels=levels,
+        ).toPandas()
+    )
+    assert len(fused.columns) > 380, len(fused.columns)
+    assert set(fused.columns) == set(comp.columns)
+    for c in comp.columns:
+        a, b = fused[c], comp[c]
+        if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+            assert np.allclose(
+                a.to_numpy(dtype=float), b.to_numpy(dtype=float),
+                rtol=1e-9, atol=1e-9, equal_nan=True,
+            ), f"column {c} diverges at full grid"
+        else:
+            assert (a.fillna("∅").astype(str) == b.fillna("∅").astype(str)).all(), c
