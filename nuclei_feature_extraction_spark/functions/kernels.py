@@ -582,10 +582,12 @@ def hull_prefix(
     ``u`` is per-conversation elapsed time, so points arrive sorted by
     x — the Andrew monotone chain is therefore INCREMENTAL: each new
     point appends to the lower/upper chains with amortized O(1)
-    push/pop work, and the hull's trapezoid integral I = Σ(x₊−x)(y₊+y)
-    and chain edge-length sums are maintained through every push/pop,
-    so per-row emission costs O(1) — O(n) total per conversation, no
-    per-prefix recomputation.
+    push/pop work. The hull's trapezoid integral I = Σ(x₊−x)(y₊+y) and
+    chain edge-length sums are maintained through every push/pop, with
+    each edge's (trapezoid, length) terms STORED at push time in
+    parallel stacks so a pop is two subtractions — no recompute, no
+    sqrt (pops ≤ pushes, so this halves the stack arithmetic); per-row
+    emission is O(1), O(n) total per conversation.
 
     Conventions: 2·area = I(upper) − I(lower); perimeter closes the
     polygon with the vertical left/right extent edges, so a degenerate
@@ -598,94 +600,106 @@ def hull_prefix(
     out_perim = np.empty(n, dtype=np.float64)
     ux, yx = u.tolist(), np.asarray(y, dtype=np.float64).tolist()
     starts = np.flatnonzero(first).tolist()
-    hypot = math.hypot
+    sqrt = math.sqrt
     for si, s in enumerate(starts):
         e = starts[si + 1] if si + 1 < len(starts) else n
-        lx: list[float] = []  # lower chain xs
-        ly: list[float] = []
-        uxs: list[float] = []  # upper chain xs
-        uys: list[float] = []
-        il = pl = iu = pu = 0.0  # trapezoid integrals, edge-length sums
-        cur_x = left_min = left_max = run_min = run_max = 0.0
-        x0 = None
-        for t in range(s, e):
-            px, py = ux[t], yx[t]
-            if x0 is None:
-                x0 = cur_x = px
-                run_min = run_max = left_min = left_max = py
-                lx.append(px); ly.append(py)
-                uxs.append(px); uys.append(py)
-            elif px > cur_x:
+        # chain point stacks + per-EDGE term stacks (edge i-1 → i)
+        lx: list[float] = []; ly: list[float] = []
+        ltr: list[float] = []; lln: list[float] = []
+        uxs: list[float] = []; uys: list[float] = []
+        utr: list[float] = []; uln: list[float] = []
+        il = pl = iu = pu = 0.0
+        px0 = ux[s]; py0 = yx[s]
+        x0 = cur_x = px0
+        run_min = run_max = left_min = left_max = py0
+        lx.append(px0); ly.append(py0)
+        uxs.append(px0); uys.append(py0)
+        out_area[s] = 0.0
+        out_perim[s] = 0.0
+        for t in range(s + 1, e):
+            px = ux[t]; py = yx[t]
+            if px > cur_x:
                 cur_x = px
                 run_min = run_max = py
-                # lower-chain push with pops (keep right turns)
-                while len(lx) >= 2 and (
+                # lower-chain push (pop non-right-turns)
+                tx = lx[-1]; ty = ly[-1]
+                while ltr and (
+                    (tx - lx[-2]) * (py - ly[-2])
+                    - (ty - ly[-2]) * (px - lx[-2])
+                ) <= 0:
+                    il -= ltr.pop(); pl -= lln.pop()
+                    lx.pop(); ly.pop()
+                    tx = lx[-1]; ty = ly[-1]
+                dx = px - tx; dy = py - ty
+                tr = dx * (py + ty); ln = sqrt(dx * dx + dy * dy)
+                il += tr; pl += ln
+                ltr.append(tr); lln.append(ln)
+                lx.append(px); ly.append(py)
+                # upper-chain push (pop non-left-turns)
+                tx = uxs[-1]; ty = uys[-1]
+                while utr and (
+                    (tx - uxs[-2]) * (py - uys[-2])
+                    - (ty - uys[-2]) * (px - uxs[-2])
+                ) >= 0:
+                    iu -= utr.pop(); pu -= uln.pop()
+                    uxs.pop(); uys.pop()
+                    tx = uxs[-1]; ty = uys[-1]
+                dx = px - tx; dy = py - ty
+                tr = dx * (py + ty); ln = sqrt(dx * dx + dy * dy)
+                iu += tr; pu += ln
+                utr.append(tr); uln.append(ln)
+                uxs.append(px); uys.append(py)
+                out_area[t] = 0.5 * (iu - il)
+                out_perim[t] = pl + pu + (run_max - run_min) + (
+                    left_max - left_min
+                )
+                continue
+            # same x as the current rightmost run
+            if cur_x == x0:
+                if py < left_min:
+                    left_min = py
+                elif py > left_max:
+                    left_max = py
+            if py < run_min:
+                run_min = py
+                # replace the run's lower representative, then pop on
+                if ltr:
+                    il -= ltr.pop(); pl -= lln.pop()
+                lx.pop(); ly.pop()
+                while ltr and (
                     (lx[-1] - lx[-2]) * (py - ly[-2])
                     - (ly[-1] - ly[-2]) * (px - lx[-2])
                 ) <= 0:
-                    il -= (lx[-1] - lx[-2]) * (ly[-1] + ly[-2])
-                    pl -= hypot(lx[-1] - lx[-2], ly[-1] - ly[-2])
+                    il -= ltr.pop(); pl -= lln.pop()
                     lx.pop(); ly.pop()
-                il += (px - lx[-1]) * (py + ly[-1])
-                pl += hypot(px - lx[-1], py - ly[-1])
+                if lx:
+                    dx = px - lx[-1]; dy = py - ly[-1]
+                    tr = dx * (py + ly[-1]); ln = sqrt(dx * dx + dy * dy)
+                    il += tr; pl += ln
+                    ltr.append(tr); lln.append(ln)
                 lx.append(px); ly.append(py)
-                # upper-chain push with pops (keep left turns)
-                while len(uxs) >= 2 and (
+            elif py > run_max:
+                run_max = py
+                if utr:
+                    iu -= utr.pop(); pu -= uln.pop()
+                uxs.pop(); uys.pop()
+                while utr and (
                     (uxs[-1] - uxs[-2]) * (py - uys[-2])
                     - (uys[-1] - uys[-2]) * (px - uxs[-2])
                 ) >= 0:
-                    iu -= (uxs[-1] - uxs[-2]) * (uys[-1] + uys[-2])
-                    pu -= hypot(uxs[-1] - uxs[-2], uys[-1] - uys[-2])
+                    iu -= utr.pop(); pu -= uln.pop()
                     uxs.pop(); uys.pop()
-                iu += (px - uxs[-1]) * (py + uys[-1])
-                pu += hypot(px - uxs[-1], py - uys[-1])
+                if uxs:
+                    dx = px - uxs[-1]; dy = py - uys[-1]
+                    tr = dx * (py + uys[-1]); ln = sqrt(dx * dx + dy * dy)
+                    iu += tr; pu += ln
+                    utr.append(tr); uln.append(ln)
                 uxs.append(px); uys.append(py)
-            else:  # same x as the current rightmost run
-                if cur_x == x0:
-                    if py < left_min:
-                        left_min = py
-                    if py > left_max:
-                        left_max = py
-                if py < run_min:
-                    run_min = py
-                    # replace the run's lower representative (chain
-                    # tail), then let the lower point pop further
-                    il -= (lx[-1] - lx[-2]) * (ly[-1] + ly[-2]) if len(lx) >= 2 else 0.0
-                    pl -= hypot(lx[-1] - lx[-2], ly[-1] - ly[-2]) if len(lx) >= 2 else 0.0
-                    lx.pop(); ly.pop()
-                    while len(lx) >= 2 and (
-                        (lx[-1] - lx[-2]) * (py - ly[-2])
-                        - (ly[-1] - ly[-2]) * (px - lx[-2])
-                    ) <= 0:
-                        il -= (lx[-1] - lx[-2]) * (ly[-1] + ly[-2])
-                        pl -= hypot(lx[-1] - lx[-2], ly[-1] - ly[-2])
-                        lx.pop(); ly.pop()
-                    if lx:
-                        il += (px - lx[-1]) * (py + ly[-1])
-                        pl += hypot(px - lx[-1], py - ly[-1])
-                    lx.append(px); ly.append(py)
-                elif py > run_max:
-                    run_max = py
-                    iu -= (uxs[-1] - uxs[-2]) * (uys[-1] + uys[-2]) if len(uxs) >= 2 else 0.0
-                    pu -= hypot(uxs[-1] - uxs[-2], uys[-1] - uys[-2]) if len(uxs) >= 2 else 0.0
-                    uxs.pop(); uys.pop()
-                    while len(uxs) >= 2 and (
-                        (uxs[-1] - uxs[-2]) * (py - uys[-2])
-                        - (uys[-1] - uys[-2]) * (px - uxs[-2])
-                    ) >= 0:
-                        iu -= (uxs[-1] - uxs[-2]) * (uys[-1] + uys[-2])
-                        pu -= hypot(uxs[-1] - uxs[-2], uys[-1] - uys[-2])
-                        uxs.pop(); uys.pop()
-                    if uxs:
-                        iu += (px - uxs[-1]) * (py + uys[-1])
-                        pu += hypot(px - uxs[-1], py - uys[-1])
-                    uxs.append(px); uys.append(py)
             out_area[t] = 0.5 * (iu - il)
-            # closing edges: right extent + left extent; an all-one-x
-            # conversation is the flat polygon (perimeter = 2·extent),
-            # whose single run IS both closing edges
             if cur_x != x0:
-                out_perim[t] = pl + pu + (run_max - run_min) + (left_max - left_min)
+                out_perim[t] = pl + pu + (run_max - run_min) + (
+                    left_max - left_min
+                )
             else:
                 out_perim[t] = 2.0 * (run_max - run_min)
     return out_area, out_perim
