@@ -558,6 +558,13 @@ def shape_prefix(
         hull_dev = np.where(
             two_plus & (area > 0), 1.0 - hull_area / area, np.nan
         )
+        # equivalent perimeter (shape.rs:91, geometric_features crate;
+        # public formula): perimeter of the circle with the hull's area
+        equiv_perim = np.where(
+            two_plus & (hull_area > 0),
+            2.0 * np.sqrt(np.pi * np.clip(hull_area, 0, None)),
+            np.nan,
+        )
     return {
         "pca_major": major, "pca_minor": minor,
         "pca_angle": angle, "pca_eccentricity": ecc,
@@ -568,6 +575,7 @@ def shape_prefix(
         "hull_area": np.where(two_plus, hull_area, np.nan),
         "hull_perimeter": np.where(two_plus, hull_perim, np.nan),
         "hull_deviation": hull_dev,
+        "equiv_perimeter": equiv_perim,
     }
 
 

@@ -66,6 +66,9 @@ SHAPE_STATS = [
     # fraction of the bounding span the hull fails to fill
     # (1 − hull_area/span_area), the convex-defect analog
     "hull_area", "hull_perimeter", "hull_deviation",
+    # equivalent perimeter (shape.rs:91): 2·sqrt(π·hull_area) — the
+    # circle-equivalent perimeter of the hull area
+    "equiv_perimeter",
 ]
 
 
@@ -278,6 +281,8 @@ def shape_prefix_naive(u: np.ndarray, y: np.ndarray) -> dict[str, np.ndarray]:
         out["hull_perimeter"][t] = h_perim
         if area > 0:
             out["hull_deviation"][t] = 1.0 - h_area / area
+        if h_area > 0:
+            out["equiv_perimeter"][t] = 2.0 * np.sqrt(np.pi * h_area)
         pts = np.stack([u[: t + 1], y[: t + 1]])
         cov = np.cov(pts, bias=True)
         evals, evecs = np.linalg.eigh(cov)
