@@ -166,3 +166,63 @@ def test_streaming_dedup_watermark_bounds_state(spark, tmp_path):
         q.stop()
     got = spark.sql("SELECT * FROM sdedup_wm").toPandas()
     assert sorted(got["doc_id"]) == [0, 2]
+
+
+def test_stateless_text_operators_run_on_streams(spark, tmp_path):
+    """The text-analysis operators are pure Catalyst expressions, so the
+    SAME functions run unchanged on a streaming DataFrame — pin it
+    (quality + lang-id + token stats over a file stream == batch)."""
+    from nuclei_feature_extraction_spark.operators.text import (
+        with_lang_id,
+        with_quality_score,
+        with_text_stats,
+    )
+
+    base = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "x",
+                "this is a short english sentence with stopwords",
+                "zzz qqq kkk",
+                "a be see", "one two three four five", "!!!", "data and code",
+            ],
+        }
+    )
+    src = tmp_path / "txtsrc"
+    src.mkdir()
+    base.to_parquet(src / "p0.parquet", index=False)
+    schema = spark.read.parquet(str(src)).schema
+
+    def xform(df):
+        return with_lang_id(with_quality_score(with_text_stats(df)))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        xform(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stext")
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM stext").toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        xform(spark.createDataFrame(base)).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    for c in want.columns:
+        a, b = got[c], want[c]
+        if a.dtype.kind in "fc":
+            assert np.allclose(a, b, equal_nan=True), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
