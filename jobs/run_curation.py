@@ -1,0 +1,196 @@
+"""spark-submit entry point for TRAINING-DATA CURATION — the end-to-end
+composition of the engine's LLM-pipeline operators over a document
+table (the counterpart of jobs/run_backfill.py for the feature side).
+
+Stage chain (each stage optional, order fixed; every stage records its
+input/output row counts and operator audits in the run manifest — no
+silent drops):
+
+    read documents
+      → exact dedup           (192-bit composite fingerprint, keep min id)
+      → fuzzy dedup           (MinHash banded LSH → verified pairs →
+                               connected components, keep canonical)
+      → decontamination       (n-gram overlap vs a benchmark table)
+      → quality filter        (Gopher-style heuristic score threshold)
+      → language filter       (heuristic lang-id allowlist)
+      → split assignment      (deterministic md5-bucket train/val/test)
+      → packing               (concat-and-chunk token-budget offsets)
+      → parquet sink + manifest JSON
+
+On a cluster:
+
+    spark-submit --py-files nfx.zip jobs/run_curation.py \
+        --documents s3://…/docs --output s3://…/curated \
+        --benchmark s3://…/eval_set --min-quality 0.7 --langs en \
+        --pack-budget 2048 --manifest out/manifest.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--documents", required=True, help="input documents parquet")
+    p.add_argument("--output", required=True, help="curated parquet sink dir")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--skip-exact-dedup", action="store_true")
+    p.add_argument("--skip-fuzzy-dedup", action="store_true")
+    p.add_argument("--fuzzy-threshold", type=float, default=0.8,
+                   help="verified n-gram Jaccard threshold for a true near-dup pair")
+    p.add_argument("--benchmark", default=None,
+                   help="benchmark/eval parquet to decontaminate against")
+    p.add_argument("--contamination-threshold", type=float, default=0.5)
+    p.add_argument("--min-quality", type=float, default=None,
+                   help="drop docs with quality_score below this")
+    p.add_argument("--langs", nargs="+", default=None,
+                   help="keep only these predicted languages")
+    p.add_argument("--split-weights", nargs="+", default=None,
+                   help="name=frac pairs, e.g. train=0.9 val=0.05 test=0.05")
+    p.add_argument("--split-seed", default="s0")
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="token budget per pack; enables packing offsets")
+    p.add_argument("--manifest", default=None, help="manifest JSON path")
+    p.add_argument("--overwrite", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import functions as F
+
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        dup_groups,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_contamination,
+        ngram_jaccard_verify,
+    )
+    from nuclei_feature_extraction_spark.operators.sampling import (
+        pack_documents,
+        with_split,
+    )
+    from nuclei_feature_extraction_spark.operators.text import (
+        with_lang_id,
+        with_quality_score,
+    )
+    from nuclei_feature_extraction_spark.session import get_spark
+
+    spark = get_spark(app_name="nfx-curation")
+    t0 = time.perf_counter()
+    df = spark.read.parquet(args.documents)
+    idc, txc = args.id_col, args.text_col
+
+    stages: list[dict] = []
+    rows_in = df.count()
+
+    def record(stage: str, rows_before: int, rows_after: int, **extra):
+        stages.append(
+            {"stage": stage, "rows_in": rows_before, "rows_out": rows_after,
+             "dropped": rows_before - rows_after, **extra}
+        )
+
+    cur = df
+    n = rows_in
+
+    if not args.skip_exact_dedup:
+        cur = (
+            exact_dedup(cur, idc, txc)
+            .filter("is_canonical")
+            .drop("dup_group_size", "is_canonical")
+        )
+        m = cur.count()
+        record("exact_dedup", n, m)
+        n = m
+
+    if not args.skip_fuzzy_dedup:
+        audit: dict = {}
+        cand = minhash_lsh_pairs(cur, idc, txc, audit=audit)
+        pairs = ngram_jaccard_verify(
+            cur, cand.select("id_a", "id_b"), idc, txc
+        ).filter(F.col("jaccard") >= args.fuzzy_threshold)
+        groups = dup_groups(cur, pairs, idc)
+        cur = (
+            cur.join(groups.filter("is_canonical").select(idc), idc, "inner")
+        )
+        m = cur.count()
+        record("fuzzy_dedup", n, m, lsh_audit=audit,
+               threshold=args.fuzzy_threshold)
+        n = m
+
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        cont = ngram_contamination(
+            cur, bench, idc, txc, threshold=args.contamination_threshold
+        )
+        cur = cur.join(
+            cont.filter("NOT is_contaminated").select(idc), idc, "inner"
+        )
+        m = cur.count()
+        record("decontamination", n, m,
+               threshold=args.contamination_threshold)
+        n = m
+
+    if args.min_quality is not None:
+        scored = with_quality_score(cur, txc)
+        cur = cur.join(
+            scored.filter(F.col("quality_score") >= args.min_quality)
+            .select(idc),
+            idc, "inner",
+        )
+        m = cur.count()
+        record("quality_filter", n, m, min_quality=args.min_quality)
+        n = m
+
+    if args.langs:
+        lang = with_lang_id(cur, txc)
+        cur = cur.join(
+            lang.filter(F.col("lang_pred").isin(args.langs)).select(idc),
+            idc, "inner",
+        )
+        m = cur.count()
+        record("lang_filter", n, m, langs=args.langs)
+        n = m
+
+    if args.split_weights:
+        weights = []
+        for w in args.split_weights:
+            name, frac = w.split("=")
+            weights.append((name, float(frac)))
+        cur = with_split(cur, idc, tuple(weights), seed=args.split_seed)
+        record("split_assign", n, n, weights=dict(weights),
+               seed=args.split_seed)
+
+    if args.pack_budget:
+        cur = pack_documents(cur, args.pack_budget, idc, text_col=txc)
+        record("packing", n, n, budget=args.pack_budget)
+
+    mode = "overwrite" if args.overwrite else "errorifexists"
+    cur.write.mode(mode).parquet(args.output)
+    written = spark.read.parquet(args.output).count()
+
+    manifest = {
+        "rows_in": rows_in,
+        "rows_out": written,
+        "wall_seconds": round(time.perf_counter() - t0, 3),
+        "stages": stages,
+        "output": args.output,
+    }
+    if args.manifest:
+        with open(args.manifest, "w") as fh:
+            json.dump(manifest, fh, indent=2)
+    print(json.dumps(manifest))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,111 @@
+"""End-to-end training-data curation job (jobs/run_curation.py):
+exact dedup → fuzzy dedup → decontamination → quality/lang filters →
+split → packing, with a stage-accounted manifest."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jobs.run_curation as job
+
+WORDS = [
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog", "and",
+    "runs", "fast", "into", "green", "field", "with", "many", "other",
+    "animals", "while", "sun", "shines", "bright", "today",
+]
+
+
+@pytest.fixture(scope="module")
+def curation_docs(spark, tmp_path_factory):
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(50):
+        rows.append((i, " ".join(rng.choice(WORDS, size=50))))
+    # exact duplicate of doc 3
+    rows.append((300, rows[3][1]))
+    # near-duplicate of doc 4 (one token changed)
+    toks = rows[4][1].split()
+    toks[25] = "MUTANT"
+    rows.append((301, " ".join(toks)))
+    # a junk doc that fails the quality length band
+    rows.append((302, "x"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    d = tmp_path_factory.mktemp("curation")
+    docs = str(d / "docs.parquet")
+    spark.createDataFrame(pdf).write.parquet(docs)
+    # benchmark containing doc 7's text → doc 7 is contaminated
+    bench = str(d / "bench.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [pdf.iloc[7]["text"]]})
+    ).write.parquet(bench)
+    return {"dir": str(d), "docs": docs, "bench": bench, "pdf": pdf}
+
+
+def test_curation_end_to_end(spark, curation_docs, tmp_path):
+    out = str(tmp_path / "curated")
+    mpath = str(tmp_path / "manifest.json")
+    rc = job.main(
+        [
+            "--documents", curation_docs["docs"],
+            "--output", out,
+            "--benchmark", curation_docs["bench"],
+            "--min-quality", "0.5",
+            "--langs", "en",
+            "--split-weights", "train=0.9", "val=0.05", "test=0.05",
+            "--pack-budget", "128",
+            "--manifest", mpath,
+        ]
+    )
+    assert rc == 0
+    m = json.load(open(mpath))
+    got = spark.read.parquet(out).toPandas()
+    kept = set(got["doc_id"])
+
+    # exact dup 300 (copy of 3) gone, canonical 3 kept
+    assert 3 in kept and 300 not in kept
+    # near-dup 301 (of 4) gone via fuzzy dedup, canonical 4 kept
+    assert 4 in kept and 301 not in kept
+    # contaminated doc 7 gone
+    assert 7 not in kept
+    # junk doc 302 fails quality
+    assert 302 not in kept
+
+    # manifest accounting: stages chain and counts telescope
+    names = [s["stage"] for s in m["stages"]]
+    assert names == [
+        "exact_dedup", "fuzzy_dedup", "decontamination", "quality_filter",
+        "lang_filter", "split_assign", "packing",
+    ]
+    for prev, nxt in zip(m["stages"], m["stages"][1:]):
+        assert nxt["rows_in"] == prev["rows_out"]
+    assert m["stages"][0]["rows_in"] == m["rows_in"] == 53
+    assert m["rows_out"] == len(got)
+    # fuzzy stage surfaced its LSH audit (no silent caps)
+    fz = m["stages"][1]
+    assert "lsh_audit" in fz and "n_buckets" in fz["lsh_audit"]
+
+    # curation artifacts present: split label + packing offsets
+    assert set(got["split"]) <= {"train", "val", "test"}
+    for c in ("n_tokens", "start_tok", "pack_id", "pack_offset", "shard"):
+        assert c in got.columns
+    # packing offsets are consistent within each shard
+    for _, g in got.sort_values(["shard", "doc_id"]).groupby("shard"):
+        expect = g["n_tokens"].cumsum().shift(fill_value=0)
+        assert (g["start_tok"].to_numpy() == expect.to_numpy()).all()
+
+
+def test_curation_stages_optional(spark, curation_docs, tmp_path):
+    """With every optional stage off, the job is exact-dedup only."""
+    out = str(tmp_path / "curated_min")
+    rc = job.main(
+        ["--documents", curation_docs["docs"], "--output", out,
+         "--skip-fuzzy-dedup"]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out).toPandas()
+    assert 300 not in set(got["doc_id"])  # exact dup still removed
+    assert 301 in set(got["doc_id"])      # near dup kept (fuzzy off)
+    assert list(got.columns) == ["doc_id", "text"]
