@@ -440,6 +440,86 @@ def extract_media_features(
     return df.mapInPandas(gen, out_schema)
 
 
+def resize_rgb(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized BILINEAR resize of an (H, W, 3) uint8 image in pure
+    numpy (align_corners=False / half-pixel-center convention, matching
+    the common PIL/OpenCV default)."""
+    h, w = rgb.shape[:2]
+    fy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    fx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    img = rgb.astype(np.float64)
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def sample_frame_indices(t: int, n: int) -> np.ndarray:
+    """Deterministic uniform frame sampling: the centers of ``n`` equal
+    temporal bins over ``t`` frames (the standard eval-time protocol);
+    n >= t returns every frame."""
+    if n >= t:
+        return np.arange(t)
+    return ((np.arange(n) + 0.5) * (t / n)).astype(np.int64)
+
+
+def transform_media(
+    df: DataFrame,
+    image_size: tuple[int, int] | None = None,
+    video_frames: int | None = None,
+) -> DataFrame:
+    """Media PREPROCESSING pass (the pipeline stage before feature
+    extraction / model ingestion): decode → resize images to
+    ``image_size`` (H, W) / uniformly sample videos down to
+    ``video_frames`` frames → re-encode, updating the typed metadata.
+    Audio and untouched kinds pass through byte-identical.
+
+    Same scale shape as ``extract_media_features``: one ``mapInPandas``
+    pass, blobs never shuffle, all codec work numpy-vectorized
+    executor-side."""
+    if image_size is None and video_frames is None:
+        return df
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, metas = [], []
+            for kind, blob, meta in zip(pdf["kind"], pdf["blob"], pdf["meta"]):
+                meta = dict(meta) if meta is not None else {
+                    "width": None, "height": None,
+                    "duration_s": None, "mime": None,
+                }
+                if kind == "image" and image_size is not None:
+                    oh, ow = image_size
+                    img = resize_rgb(decode_bmp(blob), oh, ow)
+                    blob = encode_bmp(img)
+                    meta["width"], meta["height"] = ow, oh
+                elif kind == "video" and video_frames is not None:
+                    frames, fps = decode_avi(blob)
+                    idx = sample_frame_indices(len(frames), video_frames)
+                    kept = frames[idx]
+                    # re-time so duration is preserved: the sampled clip
+                    # plays the original span at a proportional fps
+                    new_fps = max(
+                        int(round(fps * len(kept) / len(frames))), 1
+                    )
+                    blob = encode_avi(kept, new_fps)
+                    meta["duration_s"] = len(kept) / new_fps
+                blobs.append(blob)
+                metas.append(meta)
+            out = pdf.copy()
+            out["blob"] = blobs
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(gen, df.schema)
+
+
 def filter_media(
     df: DataFrame,
     kinds: list[str] | None = None,

@@ -267,3 +267,82 @@ def test_video_features_vs_numpy():
     assert abs(f[5] - np.abs(np.diff(gray, axis=0)).mean()) < 1e-12
     assert abs(f[7] - np.abs(gray[-1] - gray[0]).mean()) < 1e-12
     assert abs(f[0] - np.log1p(4 / 8)) < 1e-12
+
+
+def test_resize_rgb_bilinear_correctness():
+    """Bilinear resize vs direct half-pixel-center interpolation on a
+    ramp image (and identity when sizes match)."""
+    from nuclei_feature_extraction_spark.operators.multimodal import resize_rgb
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    assert np.array_equal(resize_rgb(img, 6, 9), img)  # identity
+    # a horizontal ramp resized down stays a (near-)ramp: rows constant
+    ramp = np.repeat(
+        np.linspace(0, 255, 16, dtype=np.uint8).reshape(1, 16, 1), 8, axis=0
+    ).repeat(3, axis=2)
+    out = resize_rgb(ramp, 4, 8)
+    assert out.shape == (4, 8, 3)
+    assert (np.diff(out[0, :, 0].astype(int)) > 0).all()  # still increasing
+    assert (out[0] == out[-1]).all()  # rows identical (no vertical mixing)
+
+
+def test_sample_frame_indices():
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        sample_frame_indices,
+    )
+
+    assert sample_frame_indices(10, 20).tolist() == list(range(10))
+    idx = sample_frame_indices(100, 4)
+    assert idx.tolist() == [12, 37, 62, 87]  # bin centers
+    assert sample_frame_indices(7, 1).tolist() == [3]
+
+
+def test_transform_media_resize_and_frame_sample(spark):
+    """transform_media: images resized to the target with meta updated,
+    videos uniformly sampled with duration preserved, audio and
+    untouched blobs byte-identical."""
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        decode_avi,
+        decode_bmp,
+        synthesize_media,
+        transform_media,
+    )
+
+    media = synthesize_media(spark, n=36)
+    before = {r["media_id"]: r for r in media.collect()}
+    out = transform_media(media, image_size=(8, 10), video_frames=3)
+    got = {r["media_id"]: r for r in out.collect()}
+    assert set(got) == set(before)
+    n_img = n_vid = 0
+    for mid, row in got.items():
+        kind = row["kind"]
+        if kind == "image":
+            img = decode_bmp(bytes(row["blob"]))
+            assert img.shape == (8, 10, 3)
+            assert row["meta"]["height"] == 8 and row["meta"]["width"] == 10
+            n_img += 1
+        elif kind == "video":
+            frames, fps = decode_avi(bytes(row["blob"]))
+            orig_frames, orig_fps = decode_avi(bytes(before[mid]["blob"]))
+            assert len(frames) == min(3, len(orig_frames))
+            # sampled frames are exact originals (no re-encode loss)
+            assert any(
+                np.array_equal(frames[0], of) for of in orig_frames
+            )
+            # duration approximately preserved (integer-fps rounding)
+            assert row["meta"]["duration_s"] > 0
+            n_vid += 1
+        else:  # audio untouched, byte-identical
+            assert bytes(row["blob"]) == bytes(before[mid]["blob"])
+    assert n_img > 0 and n_vid > 0
+
+
+def test_transform_media_noop_passthrough(spark):
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        synthesize_media,
+        transform_media,
+    )
+
+    media = synthesize_media(spark, n=8)
+    assert transform_media(media) is media
