@@ -46,6 +46,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--skip-fuzzy-dedup", action="store_true")
     p.add_argument("--fuzzy-threshold", type=float, default=0.8,
                    help="verified n-gram Jaccard threshold for a true near-dup pair")
+    p.add_argument("--embeddings", default=None,
+                   help="parquet with (id, embedding) for embedding-cosine "
+                   "near-dup removal (ids must match --id-col values)")
+    p.add_argument("--embedding-threshold", type=float, default=0.95)
+    p.add_argument("--embedding-id-col", default=None,
+                   help="id column in the embeddings table (default: --id-col)")
     p.add_argument("--benchmark", default=None,
                    help="benchmark/eval parquet to decontaminate against")
     p.add_argument("--contamination-threshold", type=float, default=0.5)
@@ -74,6 +80,9 @@ def main(argv: list[str] | None = None) -> int:
         minhash_lsh_pairs,
         ngram_contamination,
         ngram_jaccard_verify,
+    )
+    from nuclei_feature_extraction_spark.operators.similarity import (
+        embedding_near_dup_pairs,
     )
     from nuclei_feature_extraction_spark.operators.sampling import (
         pack_documents,
@@ -125,6 +134,29 @@ def main(argv: list[str] | None = None) -> int:
         m = cur.count()
         record("fuzzy_dedup", n, m, lsh_audit=audit,
                threshold=args.fuzzy_threshold)
+        n = m
+
+    if args.embeddings:
+        emb = spark.read.parquet(args.embeddings)
+        eid = args.embedding_id_col or idc
+        # only surviving docs' vectors participate
+        emb = emb.join(cur.select(F.col(idc).alias(eid)), eid, "inner")
+        vec_col = [c for c in emb.columns if c != eid][0]
+        dim = len(emb.select(vec_col).first()[0])
+        audit_e: dict = {}
+        pairs_e = embedding_near_dup_pairs(
+            emb, dim, threshold=args.embedding_threshold,
+            id_col=eid, vec_col=vec_col, audit=audit_e,
+        ).select(F.col("id_a"), F.col("id_b"))
+        groups_e = dup_groups(
+            cur.select(F.col(idc)), pairs_e, idc
+        )
+        cur = cur.join(
+            groups_e.filter("is_canonical").select(idc), idc, "inner"
+        )
+        m = cur.count()
+        record("embedding_near_dup", n, m,
+               threshold=args.embedding_threshold, lsh_audit=audit_e)
         n = m
 
     if args.benchmark:

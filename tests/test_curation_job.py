@@ -109,3 +109,36 @@ def test_curation_stages_optional(spark, curation_docs, tmp_path):
     assert 300 not in set(got["doc_id"])  # exact dup still removed
     assert 301 in set(got["doc_id"])      # near dup kept (fuzzy off)
     assert list(got.columns) == ["doc_id", "text"]
+
+
+def test_curation_embedding_near_dup_stage(spark, curation_docs, tmp_path):
+    """--embeddings removes embedding-cosine near-duplicates (canonical
+    min-id kept) and records the stage + its LSH audit in the manifest."""
+    rng = np.random.default_rng(23)
+    pdf = curation_docs["pdf"]
+    ids = pdf["doc_id"].tolist()
+    vecs = {i: rng.standard_normal(16) for i in ids}
+    # docs 10 and 11 get near-identical embeddings (cos ~ 1)
+    vecs[11] = vecs[10] + rng.standard_normal(16) * 1e-3
+    emb = pd.DataFrame(
+        {"doc_id": ids, "embedding": [list(map(float, vecs[i])) for i in ids]}
+    )
+    epath = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(emb).write.parquet(epath)
+
+    out = str(tmp_path / "curated_emb")
+    mpath = str(tmp_path / "m_emb.json")
+    rc = job.main(
+        ["--documents", curation_docs["docs"], "--output", out,
+         "--skip-fuzzy-dedup", "--embeddings", epath,
+         "--manifest", mpath]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out).toPandas()
+    kept = set(got["doc_id"])
+    assert 10 in kept and 11 not in kept  # embedding near-dup removed
+    m = json.load(open(mpath))
+    st = {s["stage"]: s for s in m["stages"]}
+    assert "embedding_near_dup" in st
+    assert st["embedding_near_dup"]["dropped"] >= 1
+    assert "lsh_audit" in st["embedding_near_dup"]
