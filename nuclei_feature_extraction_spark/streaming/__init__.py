@@ -7,3 +7,6 @@ from nuclei_feature_extraction_spark.streaming.dedup import (  # noqa: F401
 from nuclei_feature_extraction_spark.streaming.stateful import (  # noqa: F401
     streaming_turn_state,
 )
+from nuclei_feature_extraction_spark.streaming.features import (  # noqa: F401
+    streaming_prefix_features,
+)

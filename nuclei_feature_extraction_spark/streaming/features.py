@@ -1,0 +1,221 @@
+"""STREAMING prefix kernel features — the flagship's co-occurrence and
+shape families maintained incrementally per conversation with
+``applyInPandasWithState`` (SURVEY §2.7: custom stateful operators for
+live transcript feeds).
+
+The batch kernels express prefix stats as segmented cumsums over whole
+sorted conversations; a stream sees a conversation in arbitrary
+micro-batch slices, so here the SUFFICIENT STATISTICS live in the group
+state instead — and both families need only FIXED-SIZE state:
+
+- cooc (lag 1, K=4): the symmetric K×K transition-count matrix (16
+  longs) + the previous level. Every Haralick stat is a closed-form
+  function of that matrix, so each arriving turn is one O(K²) numpy
+  evaluation — no history kept.
+- shape: the 2-D moment sums (n, Σu, Σy, Σu², Σy², Σuy), the path
+  length, the running u/y extents, the conversation anchor timestamp,
+  and the previous point. PCA axes/angle/eccentricity, span area and
+  compacity are closed-form in those.
+
+Emitted values match the batch ``prefix_features`` output column for
+column (pinned by tests/test_streaming_stateful.py across a replay that
+splits conversations mid-stream) — the batch path computes the same
+mathematics via incremental identities, so agreement is allclose, not
+bitwise.
+
+Rows inside a micro-batch are sorted by (ts, turn_idx); correctness
+across micro-batches requires per-conversation event-time monotonicity
+between batches (append-only transcript logs replayed in order)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from nuclei_feature_extraction_spark.functions.oracle import discretize_log
+
+K = 4
+
+COOC_OUT = [
+    "correlation", "contrast", "dissimilarity", "entropy", "asm",
+    "sum_average", "sum_variance", "sum_entropy", "sum_of_squares",
+    "idm", "difference_average", "difference_variance", "imc1", "imc2",
+]
+SHAPE_OUT = [
+    "pca_major", "pca_minor", "pca_angle", "pca_eccentricity",
+    "path_len", "span_area", "compacity",
+]
+
+OUT_SCHEMA = (
+    "conv_id string, turn_idx int, ts timestamp, "
+    + ", ".join(f"cooc_{s}_d1_k4 double" for s in COOC_OUT)
+    + ", "
+    + ", ".join(f"shape_{s} double" for s in SHAPE_OUT)
+)
+STATE_SCHEMA = (
+    "counts array<long>, prev_lev int, n long, su double, sy double, "
+    "suu double, syy double, suy double, path double, "
+    "umin double, umax double, ymin double, ymax double, "
+    "t0_us long, prev_u double, prev_y double"
+)
+
+_IV = np.arange(K, dtype=np.float64)
+_IG, _JG = np.meshgrid(_IV, _IV, indexing="ij")
+_KSUM = (_IG + _JG).astype(np.int64)
+_LDIFF = np.abs(_IG - _JG).astype(np.int64)
+
+
+def _xlogx(a):
+    return np.where(a > 0, a * np.log(np.maximum(a, 1e-300)), 0.0)
+
+
+def _cooc_stats(c: np.ndarray) -> list[float]:
+    """All 14 Haralick stats from the running symmetric count matrix —
+    same formulas and degenerate-case guards as the batch kernel
+    (kernels.cooc_prefix)."""
+    s = c.sum()
+    if s <= 0:
+        return [np.nan] * len(COOC_OUT)
+    p = c / s
+    px = p.sum(axis=1)
+    mu = float((_IV * px).sum())
+    var = float((_IV**2 * px).sum()) - mu * mu
+    eij = float((_IG * _JG * p).sum())
+    corr = (eij - mu * mu) / var if var > 1e-9 else np.nan
+    contrast = float(((_IG - _JG) ** 2 * p).sum())
+    dissim = float((np.abs(_IG - _JG) * p).sum())
+    entropy = float(-_xlogx(p).sum())
+    asm = float((p**2).sum())
+    psum = np.bincount(_KSUM.ravel(), weights=p.ravel(), minlength=2 * K - 1)
+    kk = np.arange(2 * K - 1, dtype=np.float64)
+    sa = float((kk * psum).sum())
+    sv = float(((kk - sa) ** 2 * psum).sum())
+    se = float(-_xlogx(psum).sum())
+    idm = float((p / (1.0 + (_IG - _JG) ** 2)).sum())
+    pdiff = np.bincount(_LDIFF.ravel(), weights=p.ravel(), minlength=K)
+    ll = np.arange(K, dtype=np.float64)
+    da = float((ll * pdiff).sum())
+    dv = float(((ll - da) ** 2 * pdiff).sum())
+    hx = float(-_xlogx(px).sum())
+    imc1 = (entropy - 2 * hx) / hx if hx > 1e-9 else np.nan
+    imc2 = float(np.sqrt(max(1.0 - np.exp(-2.0 * (2 * hx - entropy)), 0.0)))
+    return [corr, contrast, dissim, entropy, asm, sa, sv, se, var,
+            idm, da, dv, imc1, imc2]
+
+
+def _shape_stats(n, su, sy, suu, syy, suy, path, umin, umax, ymin, ymax):
+    """Closed-form prefix PCA + span/compacity from the moment state —
+    same guards as kernels.shape_prefix."""
+    nanrow = [np.nan] * len(SHAPE_OUT)
+    if n < 2:
+        return nanrow
+    mu, my = su / n, sy / n
+    a = suu / n - mu * mu
+    c2 = syy / n - my * my
+    b = suy / n - mu * my
+    tr = a + c2
+    disc = float(np.sqrt(((a - c2) / 2.0) ** 2 + b * b))
+    l1 = tr / 2.0 + disc
+    l2 = max(tr / 2.0 - disc, 0.0)
+    if l1 > 0:
+        major = 2.0 * float(np.sqrt(max(l1, 0.0)))
+        minor = 2.0 * float(np.sqrt(l2))
+        ecc = float(np.sqrt(min(max((l1 - l2) / l1, 0.0), 1.0)))
+        if disc > 1e-12:
+            vx = b if abs(b) > 1e-12 else (1.0 if a >= c2 else 0.0)
+            vy = (l1 - a) if abs(b) > 1e-12 else (0.0 if a >= c2 else 1.0)
+            angle = float(np.arctan2(vy, vx) % np.pi)
+        else:
+            angle = np.nan
+    else:
+        major = minor = ecc = angle = np.nan
+    area = (umax - umin) * (ymax - ymin)
+    compacity = path * path / (4 * np.pi * area) if area > 0 else np.nan
+    return [major, minor, angle, ecc, path, area, compacity]
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if not len(rows):
+        return
+    rows = rows.sort_values(["ts", "turn_idx"], kind="mergesort")
+    us = rows["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    tlen = rows["tlen"].to_numpy(dtype=np.float64)
+    levs = discretize_log(tlen, K)
+
+    if state.exists:
+        (counts_l, prev_lev, n, su, sy, suu, syy, suy, path,
+         umin, umax, ymin, ymax, t0_us, prev_u, prev_y) = state.get
+        counts = np.array(counts_l, dtype=np.float64).reshape(K, K)
+    else:
+        counts = np.zeros((K, K))
+        prev_lev, n = -1, 0
+        su = sy = suu = syy = suy = path = 0.0
+        umin = ymin = np.inf
+        umax = ymax = -np.inf
+        t0_us = int(us[0])
+        prev_u = prev_y = 0.0
+
+    out = {c: [] for c in ("conv_id", "turn_idx", "ts")}
+    cooc_cols = [[] for _ in COOC_OUT]
+    shape_cols = [[] for _ in SHAPE_OUT]
+    for i in range(len(rows)):
+        lev = int(levs[i])
+        if prev_lev >= 0:
+            counts[prev_lev, lev] += 1.0
+            counts[lev, prev_lev] += 1.0
+        prev_lev = lev
+        u = (us[i] - t0_us) / 1e6
+        y = tlen[i]
+        if n >= 1:
+            path += float(np.hypot(u - prev_u, y - prev_y))
+        prev_u, prev_y = u, y
+        n += 1
+        su += u; sy += y
+        suu += u * u; syy += y * y; suy += u * y
+        umin = min(umin, u); umax = max(umax, u)
+        ymin = min(ymin, y); ymax = max(ymax, y)
+
+        out["conv_id"].append(key[0])
+        out["turn_idx"].append(rows["turn_idx"].iloc[i])
+        out["ts"].append(rows["ts"].iloc[i])
+        for vals, v in zip(cooc_cols, _cooc_stats(counts)):
+            vals.append(v)
+        for vals, v in zip(
+            shape_cols,
+            _shape_stats(n, su, sy, suu, syy, suy, path,
+                         umin, umax, ymin, ymax),
+        ):
+            vals.append(v)
+
+    state.update((
+        [int(v) for v in counts.ravel()], int(prev_lev), int(n),
+        float(su), float(sy), float(suu), float(syy), float(suy),
+        float(path), float(umin), float(umax), float(ymin), float(ymax),
+        int(t0_us), float(prev_u), float(prev_y),
+    ))
+    data = dict(out)
+    for nm, vals in zip([f"cooc_{s}_d1_k4" for s in COOC_OUT], cooc_cols):
+        data[nm] = vals
+    for nm, vals in zip([f"shape_{s}" for s in SHAPE_OUT], shape_cols):
+        data[nm] = vals
+    yield pd.DataFrame(data)
+
+
+def streaming_prefix_features(stream: DataFrame) -> DataFrame:
+    """Per-turn co-occurrence (lag 1, K=4) + shape prefix features over
+    a live transcript stream, state-incremental per conversation."""
+    src = stream.select(
+        "conv_id", "turn_idx", "ts",
+        F.length("text").cast("double").alias("tlen"),
+    )
+    return src.groupBy("conv_id").applyInPandasWithState(
+        _update, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )

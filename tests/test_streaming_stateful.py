@@ -226,3 +226,73 @@ def test_stateless_text_operators_run_on_streams(spark, tmp_path):
             assert np.allclose(a, b, equal_nan=True), c
         else:
             assert (a.astype(str) == b.astype(str)).all(), c
+
+
+def test_streaming_prefix_features_match_batch(spark, tiny_pdf, tmp_path):
+    """Streaming prefix kernels (state-incremental cooc d1k4 + shape) ==
+    the batch prefix_features output, column for column, across a
+    2-micro-batch replay that splits every conversation mid-stream."""
+    from nuclei_feature_extraction_spark.functions.kernels import (
+        prefix_features,
+    )
+    from nuclei_feature_extraction_spark.streaming.features import (
+        COOC_OUT,
+        SHAPE_OUT,
+        streaming_prefix_features,
+    )
+
+    src = tmp_path / "featsrc"
+    src.mkdir()
+    pdf = tiny_pdf.sort_values(["conv_id", "ts", "turn_idx"])
+    half = pdf.groupby("conv_id").cumcount() < pdf.groupby("conv_id")[
+        "turn_idx"
+    ].transform("size") // 2
+    pdf[half].to_parquet(src / "part-000.parquet", index=False)
+    pdf[~half].to_parquet(src / "part-001.parquet", index=False)
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_prefix_features(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sfeat")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.sql("SELECT * FROM sfeat").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    cols = [f"cooc_{s}_d1_k4" for s in COOC_OUT] + [
+        f"shape_{s}" for s in SHAPE_OUT
+    ]
+    want = (
+        prefix_features(
+            spark.createDataFrame(tiny_pdf),
+            families=("cooc", "shape"), lags=(1,), levels=(4,),
+        )
+        .select("conv_id", "turn_idx", *cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(tiny_pdf)
+    for c in cols:
+        # shape tolerances mirror the batch-vs-naive test: the closed
+        # form amplifies ~1e-11 cancellation noise near rank-1 input
+        tol = dict(rtol=1e-6, atol=3e-5) if c.startswith("shape") else dict(
+            rtol=1e-9, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[c].to_numpy(), equal_nan=True,
+            err_msg=c, **tol,
+        )
