@@ -37,9 +37,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from nuclei_feature_extraction_spark.functions.kernels import ROLE_IDX
 from nuclei_feature_extraction_spark.functions.oracle import discretize_log
 
 K = 4
+KA = 5  # role levels (4 named + other)
 
 COOC_OUT = [
     "correlation", "contrast", "dissimilarity", "entropy", "asm",
@@ -50,19 +52,29 @@ SHAPE_OUT = [
     "pca_major", "pca_minor", "pca_angle", "pca_eccentricity",
     "path_len", "span_area", "compacity",
 ]
+XCOOC_OUT = [
+    "contrast", "dissimilarity", "mean_a", "mean_b", "correlation",
+    "asm", "entropy", "hx", "hy", "mi",
+]
 
 OUT_SCHEMA = (
     "conv_id string, turn_idx int, ts timestamp, "
     + ", ".join(f"cooc_{s}_d1_k4 double" for s in COOC_OUT)
     + ", "
     + ", ".join(f"shape_{s} double" for s in SHAPE_OUT)
+    + ", "
+    + ", ".join(f"xcooc_{s}_d1 double" for s in XCOOC_OUT)
 )
 STATE_SCHEMA = (
     "counts array<long>, prev_lev int, n long, su double, sy double, "
     "suu double, syy double, suy double, path double, "
     "umin double, umax double, ymin double, ymax double, "
-    "t0_us long, prev_u double, prev_y double"
+    "t0_us long, prev_u double, prev_y double, "
+    "xcounts array<long>, prev_role int"
 )
+
+_XAI = np.arange(KA, dtype=np.float64)[:, None]  # role axis (rows)
+_XBJ = np.arange(K, dtype=np.float64)[None, :]   # level axis (cols)
 
 _IV = np.arange(K, dtype=np.float64)
 _IG, _JG = np.meshgrid(_IV, _IV, indexing="ij")
@@ -108,6 +120,34 @@ def _cooc_stats(c: np.ndarray) -> list[float]:
             idm, da, dv, imc1, imc2]
 
 
+def _xcooc_stats(c: np.ndarray) -> list[float]:
+    """Cross-signal stats from the running ASYMMETRIC (KA, K) count
+    matrix — same formulas/guards as kernels.xcooc_prefix."""
+    s = c.sum()
+    if s <= 0:
+        return [np.nan] * len(XCOOC_OUT)
+    p = c / s
+    pa = p.sum(axis=1)
+    pb = p.sum(axis=0)
+    ia = np.arange(KA, dtype=np.float64)
+    jb = np.arange(K, dtype=np.float64)
+    mean_a = float((ia * pa).sum())
+    mean_b = float((jb * pb).sum())
+    var_a = float((ia**2 * pa).sum()) - mean_a**2
+    var_b = float((jb**2 * pb).sum()) - mean_b**2
+    cov = float(((_XAI * _XBJ) * p).sum()) - mean_a * mean_b
+    denom = var_a * var_b
+    corr = cov / float(np.sqrt(denom)) if denom > 1e-9 else np.nan
+    contrast = float(((_XAI - _XBJ) ** 2 * p).sum())
+    dissim = float((np.abs(_XAI - _XBJ) * p).sum())
+    asm = float((p**2).sum())
+    entropy = float(-_xlogx(p).sum())
+    hx = float(-_xlogx(pa).sum())
+    hy = float(-_xlogx(pb).sum())
+    mi = hx + hy - entropy
+    return [contrast, dissim, mean_a, mean_b, corr, asm, entropy, hx, hy, mi]
+
+
 def _shape_stats(n, su, sy, suu, syy, suy, path, umin, umax, ymin, ymax):
     """Closed-form prefix PCA + span/compacity from the moment state —
     same guards as kernels.shape_prefix."""
@@ -149,14 +189,20 @@ def _update(
     us = rows["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
     tlen = rows["tlen"].to_numpy(dtype=np.float64)
     levs = discretize_log(tlen, K)
+    roles = (
+        rows["role"].map(ROLE_IDX).fillna(KA - 1).to_numpy(dtype=np.int64)
+    )
 
     if state.exists:
         (counts_l, prev_lev, n, su, sy, suu, syy, suy, path,
-         umin, umax, ymin, ymax, t0_us, prev_u, prev_y) = state.get
+         umin, umax, ymin, ymax, t0_us, prev_u, prev_y,
+         xcounts_l, prev_role) = state.get
         counts = np.array(counts_l, dtype=np.float64).reshape(K, K)
+        xcounts = np.array(xcounts_l, dtype=np.float64).reshape(KA, K)
     else:
         counts = np.zeros((K, K))
-        prev_lev, n = -1, 0
+        xcounts = np.zeros((KA, K))
+        prev_lev, prev_role, n = -1, -1, 0
         su = sy = suu = syy = suy = path = 0.0
         umin = ymin = np.inf
         umax = ymax = -np.inf
@@ -166,12 +212,17 @@ def _update(
     out = {c: [] for c in ("conv_id", "turn_idx", "ts")}
     cooc_cols = [[] for _ in COOC_OUT]
     shape_cols = [[] for _ in SHAPE_OUT]
+    xcooc_cols = [[] for _ in XCOOC_OUT]
     for i in range(len(rows)):
         lev = int(levs[i])
+        role = int(roles[i])
         if prev_lev >= 0:
             counts[prev_lev, lev] += 1.0
             counts[lev, prev_lev] += 1.0
+        if prev_role >= 0:
+            xcounts[prev_role, lev] += 1.0
         prev_lev = lev
+        prev_role = role
         u = (us[i] - t0_us) / 1e6
         y = tlen[i]
         if n >= 1:
@@ -194,17 +245,22 @@ def _update(
                          umin, umax, ymin, ymax),
         ):
             vals.append(v)
+        for vals, v in zip(xcooc_cols, _xcooc_stats(xcounts)):
+            vals.append(v)
 
     state.update((
         [int(v) for v in counts.ravel()], int(prev_lev), int(n),
         float(su), float(sy), float(suu), float(syy), float(suy),
         float(path), float(umin), float(umax), float(ymin), float(ymax),
         int(t0_us), float(prev_u), float(prev_y),
+        [int(v) for v in xcounts.ravel()], int(prev_role),
     ))
     data = dict(out)
     for nm, vals in zip([f"cooc_{s}_d1_k4" for s in COOC_OUT], cooc_cols):
         data[nm] = vals
     for nm, vals in zip([f"shape_{s}" for s in SHAPE_OUT], shape_cols):
+        data[nm] = vals
+    for nm, vals in zip([f"xcooc_{s}_d1" for s in XCOOC_OUT], xcooc_cols):
         data[nm] = vals
     yield pd.DataFrame(data)
 
@@ -213,7 +269,7 @@ def streaming_prefix_features(stream: DataFrame) -> DataFrame:
     """Per-turn co-occurrence (lag 1, K=4) + shape prefix features over
     a live transcript stream, state-incremental per conversation."""
     src = stream.select(
-        "conv_id", "turn_idx", "ts",
+        "conv_id", "turn_idx", "ts", "role",
         F.length("text").cast("double").alias("tlen"),
     )
     return src.groupBy("conv_id").applyInPandasWithState(

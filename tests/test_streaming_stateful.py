@@ -238,6 +238,7 @@ def test_streaming_prefix_features_match_batch(spark, tiny_pdf, tmp_path):
     from nuclei_feature_extraction_spark.streaming.features import (
         COOC_OUT,
         SHAPE_OUT,
+        XCOOC_OUT,
         streaming_prefix_features,
     )
 
@@ -273,13 +274,15 @@ def test_streaming_prefix_features_match_batch(spark, tiny_pdf, tmp_path):
         spark.sql("SELECT * FROM sfeat").toPandas()
         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     )
-    cols = [f"cooc_{s}_d1_k4" for s in COOC_OUT] + [
-        f"shape_{s}" for s in SHAPE_OUT
-    ]
+    cols = (
+        [f"cooc_{s}_d1_k4" for s in COOC_OUT]
+        + [f"shape_{s}" for s in SHAPE_OUT]
+        + [f"xcooc_{s}_d1" for s in XCOOC_OUT]
+    )
     want = (
         prefix_features(
             spark.createDataFrame(tiny_pdf),
-            families=("cooc", "shape"), lags=(1,), levels=(4,),
+            families=("cooc", "xcooc", "shape"), lags=(1,), levels=(4,),
         )
         .select("conv_id", "turn_idx", *cols)
         .toPandas()
