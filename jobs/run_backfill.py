@@ -40,6 +40,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--feature-sets", nargs="+", default=["all"],
                    help="registry names/aliases (plans/registry.py); "
                    "invalid names fail before execution, like args.rs:137-183")
+    p.add_argument("--plan", choices=["composable", "fused"], default="composable",
+                   help="fused = the single-shuffle mapInPandas plan "
+                   "(full feature set only; wide rows never cross an "
+                   "exchange — the 100 TB hot path)")
     p.add_argument("--cooc-lags", nargs="+", type=int, default=[1, 2])
     p.add_argument("--cooc-levels", nargs="+", type=int, default=[4, 8])
     p.add_argument("--overwrite", action="store_true")
@@ -66,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
     from nuclei_feature_extraction_spark.plans.registry import expand_feature_sets
 
     names = expand_feature_sets(args.feature_sets)
+    if args.plan == "fused" and set(names) != set(expand_feature_sets(["all"])):
+        raise SystemExit(
+            "--plan fused computes the FULL feature set; drop "
+            "--feature-sets or use --plan composable for subsets"
+        )
 
     from nuclei_feature_extraction_spark.lineage import run_with_metrics
     from nuclei_feature_extraction_spark.plans.pipeline import build_features
@@ -97,6 +106,18 @@ def main(argv: list[str] | None = None) -> int:
         asof_routing = asof_strategy_hint(tr, "conv_id")
 
     def pipeline(src):
+        if args.plan == "fused":
+            from nuclei_feature_extraction_spark.plans.fused import (
+                build_features_fused,
+            )
+
+            return build_features_fused(
+                src,
+                side_profile=side_profile,
+                side_config=side_config,
+                lags=tuple(args.cooc_lags),
+                levels=tuple(args.cooc_levels),
+            )
         return build_features(
             src,
             names,

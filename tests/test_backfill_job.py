@@ -178,3 +178,25 @@ def test_spark_submit_py_files_zip(tmp_path):
     import pyarrow.parquet as pq
 
     assert pq.read_table(out).num_rows == summary["rows"]
+
+
+def test_backfill_fused_plan_flag(spark, tmp_path, tiny_pdf):
+    """--plan fused routes through the single-shuffle plan and produces
+    the full feature set; subsets are rejected before Spark starts."""
+    import jobs.run_backfill as job
+
+    src = str(tmp_path / "tr_fused.parquet")
+    spark.createDataFrame(tiny_pdf).write.parquet(src)
+    out = str(tmp_path / "feat_fused.parquet")
+    rc = job.main(["--transcripts", src, "--output", out, "--plan", "fused"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == len(tiny_pdf)
+    for c in ("cooc_entropy_d1_k4", "runlen_gln_role", "xcooc_mi_d1",
+              "shape_hull_area", "tlen_gabor_w4_p0_mean"):
+        assert c in got.columns, c
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="FULL feature set"):
+        job.main(["--transcripts", src, "--output", out,
+                  "--plan", "fused", "--feature-sets", "session"])
