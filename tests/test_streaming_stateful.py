@@ -299,3 +299,79 @@ def test_streaming_prefix_features_match_batch(spark, tiny_pdf, tmp_path):
             got[c].to_numpy(), want[c].to_numpy(), equal_nan=True,
             err_msg=c, **tol,
         )
+
+
+def test_streaming_features_resume_from_checkpoint(spark, tiny_pdf, tmp_path):
+    """Kill the streaming query between micro-batches and START A NEW
+    QUERY on the same checkpoint: group state must be recovered from the
+    state store, and the combined output across both process lifetimes
+    must equal the batch computation (true crash-resume, not just
+    multi-batch continuity)."""
+    from nuclei_feature_extraction_spark.functions.kernels import (
+        prefix_features,
+    )
+    from nuclei_feature_extraction_spark.streaming.features import (
+        COOC_OUT,
+        streaming_prefix_features,
+    )
+
+    src = tmp_path / "resumesrc"
+    src.mkdir()
+    pdf = tiny_pdf.sort_values(["conv_id", "ts", "turn_idx"])
+    half = pdf.groupby("conv_id").cumcount() < pdf.groupby("conv_id")[
+        "turn_idx"
+    ].transform("size") // 2
+    ck = str(tmp_path / "rckpt")
+    sink = str(tmp_path / "rsink")
+    schema = spark.createDataFrame(pdf).schema
+
+    def run_once():
+        # the memory sink is not fault-tolerant; a FILE sink is — the
+        # recovery path under test is the real production shape
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_prefix_features(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # lifetime 1: only the first halves exist
+    pdf[half].to_parquet(src / "part-000.parquet", index=False)
+    run_once()
+    # process dies; second halves arrive; new query, same checkpoint
+    pdf[~half].to_parquet(src / "part-001.parquet", index=False)
+    run_once()
+
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    cols = [f"cooc_{s}_d1_k4" for s in COOC_OUT]
+    want = (
+        prefix_features(
+            spark.createDataFrame(tiny_pdf),
+            families=("cooc",), lags=(1,), levels=(4,),
+        )
+        .select("conv_id", "turn_idx", *cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(tiny_pdf)
+    for c in cols:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[c].to_numpy(),
+            rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c,
+        )
