@@ -56,6 +56,15 @@ XCOOC_OUT = [
     "contrast", "dissimilarity", "mean_a", "mean_b", "correlation",
     "asm", "entropy", "hx", "hy", "mi",
 ]
+RUNLEN_OUT = [
+    "n_runs", "rp", "mean_len", "sre", "lre", "rlvar", "gln", "lgre",
+    "hgre", "rln", "srlge", "srhge", "srmge", "srege", "lrlge", "lrhge",
+    "lrmge", "lrege",
+]
+RUNLEN_SIGS = (("role", 5), ("has_tool", 2), ("tlen4", 4), ("posb", 4))
+# per-signal scalar state layout: r, cur_lev, cur_len, then the 14
+# accumulators, then G per-level run-start counts
+_RL_ACC = 14
 
 OUT_SCHEMA = (
     "conv_id string, turn_idx int, ts timestamp, "
@@ -64,13 +73,23 @@ OUT_SCHEMA = (
     + ", ".join(f"shape_{s} double" for s in SHAPE_OUT)
     + ", "
     + ", ".join(f"xcooc_{s}_d1 double" for s in XCOOC_OUT)
+    + ", "
+    + ", ".join(
+        f"runlen_{st}_{sig} double" for sig, _ in RUNLEN_SIGS
+        for st in RUNLEN_OUT
+    )
 )
 STATE_SCHEMA = (
     "counts array<long>, prev_lev int, n long, su double, sy double, "
     "suu double, syy double, suy double, path double, "
     "umin double, umax double, ymin double, ymax double, "
     "t0_us long, prev_u double, prev_y double, "
-    "xcounts array<long>, prev_role int"
+    "xcounts array<long>, prev_role int, "
+    + ", ".join(
+        f"rl_{sig} array<double>, rlh_len_{sig} array<long>, "
+        f"rlh_cnt_{sig} array<long>"
+        for sig, _ in RUNLEN_SIGS
+    )
 )
 
 _XAI = np.arange(KA, dtype=np.float64)[:, None]  # role axis (rows)
@@ -148,6 +167,71 @@ def _xcooc_stats(c: np.ndarray) -> list[float]:
     return [contrast, dissim, mean_a, mean_b, corr, asm, entropy, hx, hy, mi]
 
 
+def _runlen_row(st: list, hist: dict, v: int, g: int, np1: int) -> list[float]:
+    """Advance ONE signal's run-length state by one row of level ``v``
+    and return the 18 GLRLM stats — the streaming twin of the batch
+    ``kernels.runlen_prefix`` identities (same per-row deltas, same
+    signed dec/inc RLN bookkeeping), with the sufficient statistics as
+    scalars + the sparse run-length histogram (distinct lengths are
+    O(sqrt(rows)), so state stays tiny)."""
+    r = st[0]
+    if r == 0.0 or v != int(st[1]):  # new run
+        r += 1.0
+        st[0] = r
+        st[1] = float(v)
+        st[2] = 1.0
+        rvi = 17 + v
+        st[rvi] += 1.0
+        st[5] += 2.0 * st[rvi] - 1.0              # gln
+        low = 1.0 / (v + 1) ** 2
+        high = float((v + 1) ** 2)
+        st[6] += low                               # lgre
+        st[7] += high                              # hgre
+        short_d = 1.0
+        long_d = 1.0
+        c1 = hist.get(1, 0)
+        st[16] += 2.0 * c1 + 1.0                   # rln Σc²: inc bucket 1
+        hist[1] = c1 + 1
+    else:  # grow cur run
+        l = int(st[2]) + 1
+        st[2] = float(l)
+        short_d = 1.0 / l**2 - 1.0 / (l - 1) ** 2
+        long_d = 2.0 * l - 1.0
+        low = 1.0 / (v + 1) ** 2
+        high = float((v + 1) ** 2)
+        cprev = hist.get(l - 1, 0)
+        st[16] += -(2.0 * cprev - 1.0)             # dec bucket l−1
+        if cprev == 1:
+            del hist[l - 1]
+        else:
+            hist[l - 1] = cprev - 1
+        cl = hist.get(l, 0)
+        st[16] += 2.0 * cl + 1.0                   # inc bucket l
+        hist[l] = cl + 1
+    dc = abs(v - (g - 1) / 2.0)
+    midw = 1.0 / (dc + 1) ** 2
+    extw = (dc + 1) ** 2
+    st[3] += short_d                               # sre
+    st[4] += long_d                                # lre
+    st[8] += low * short_d                         # srlge
+    st[9] += high * short_d                        # srhge
+    st[10] += midw * short_d                       # srmge
+    st[11] += extw * short_d                       # srege
+    st[12] += low * long_d                         # lrlge
+    st[13] += high * long_d                        # lrhge
+    st[14] += midw * long_d                        # lrmge
+    st[15] += extw * long_d                        # lrege
+    r = st[0]
+    mean_len = np1 / r
+    lre = st[4] / r
+    return [
+        r, r / np1, mean_len, st[3] / r, lre, lre - mean_len**2,
+        st[5] / r, st[6] / r, st[7] / r, st[16] / r,
+        st[8] / r, st[9] / r, st[10] / r, st[11] / r,
+        st[12] / r, st[13] / r, st[14] / r, st[15] / r,
+    ]
+
+
 def _shape_stats(n, su, sy, suu, syy, suy, path, umin, umax, ymin, ymax):
     """Closed-form prefix PCA + span/compacity from the moment state —
     same guards as kernels.shape_prefix."""
@@ -192,13 +276,20 @@ def _update(
     roles = (
         rows["role"].map(ROLE_IDX).fillna(KA - 1).to_numpy(dtype=np.int64)
     )
+    has_tool = rows["tool"].notna().to_numpy().astype(np.int64)
 
     if state.exists:
+        got = state.get
         (counts_l, prev_lev, n, su, sy, suu, syy, suy, path,
          umin, umax, ymin, ymax, t0_us, prev_u, prev_y,
-         xcounts_l, prev_role) = state.get
+         xcounts_l, prev_role) = got[:18]
         counts = np.array(counts_l, dtype=np.float64).reshape(K, K)
         xcounts = np.array(xcounts_l, dtype=np.float64).reshape(KA, K)
+        rl_states, rl_hists = [], []
+        for si in range(len(RUNLEN_SIGS)):
+            sc, hl, hc = got[18 + 3 * si : 18 + 3 * si + 3]
+            rl_states.append(list(sc))
+            rl_hists.append(dict(zip(hl, hc)))
     else:
         counts = np.zeros((K, K))
         xcounts = np.zeros((KA, K))
@@ -208,14 +299,20 @@ def _update(
         umax = ymax = -np.inf
         t0_us = int(us[0])
         prev_u = prev_y = 0.0
+        rl_states = [
+            [0.0] * (3 + _RL_ACC + g) for _, g in RUNLEN_SIGS
+        ]
+        rl_hists = [dict() for _ in RUNLEN_SIGS]
 
     out = {c: [] for c in ("conv_id", "turn_idx", "ts")}
     cooc_cols = [[] for _ in COOC_OUT]
     shape_cols = [[] for _ in SHAPE_OUT]
     xcooc_cols = [[] for _ in XCOOC_OUT]
+    runlen_cols = [[] for _ in range(len(RUNLEN_SIGS) * len(RUNLEN_OUT))]
     for i in range(len(rows)):
         lev = int(levs[i])
         role = int(roles[i])
+        pos = n  # 0-based row index within the conversation (pre-update)
         if prev_lev >= 0:
             counts[prev_lev, lev] += 1.0
             counts[lev, prev_lev] += 1.0
@@ -247,13 +344,27 @@ def _update(
             vals.append(v)
         for vals, v in zip(xcooc_cols, _xcooc_stats(xcounts)):
             vals.append(v)
+        sig_vals = (role, int(has_tool[i]), lev, min(pos // 4, 3))
+        for si, (_, g) in enumerate(RUNLEN_SIGS):
+            stats = _runlen_row(rl_states[si], rl_hists[si],
+                                sig_vals[si], g, n)
+            base = si * len(RUNLEN_OUT)
+            for k2, v in enumerate(stats):
+                runlen_cols[base + k2].append(v)
 
+    rl_payload = []
+    for si in range(len(RUNLEN_SIGS)):
+        rl_payload.append([float(v) for v in rl_states[si]])
+        hl = sorted(rl_hists[si])
+        rl_payload.append([int(v) for v in hl])
+        rl_payload.append([int(rl_hists[si][v]) for v in hl])
     state.update((
         [int(v) for v in counts.ravel()], int(prev_lev), int(n),
         float(su), float(sy), float(suu), float(syy), float(suy),
         float(path), float(umin), float(umax), float(ymin), float(ymax),
         int(t0_us), float(prev_u), float(prev_y),
         [int(v) for v in xcounts.ravel()], int(prev_role),
+        *rl_payload,
     ))
     data = dict(out)
     for nm, vals in zip([f"cooc_{s}_d1_k4" for s in COOC_OUT], cooc_cols):
@@ -262,6 +373,11 @@ def _update(
         data[nm] = vals
     for nm, vals in zip([f"xcooc_{s}_d1" for s in XCOOC_OUT], xcooc_cols):
         data[nm] = vals
+    rl_names = [
+        f"runlen_{st}_{sig}" for sig, _ in RUNLEN_SIGS for st in RUNLEN_OUT
+    ]
+    for nm, vals in zip(rl_names, runlen_cols):
+        data[nm] = vals
     yield pd.DataFrame(data)
 
 
@@ -269,7 +385,7 @@ def streaming_prefix_features(stream: DataFrame) -> DataFrame:
     """Per-turn co-occurrence (lag 1, K=4) + shape prefix features over
     a live transcript stream, state-incremental per conversation."""
     src = stream.select(
-        "conv_id", "turn_idx", "ts", "role",
+        "conv_id", "turn_idx", "ts", "role", "tool",
         F.length("text").cast("double").alias("tlen"),
     )
     return src.groupBy("conv_id").applyInPandasWithState(

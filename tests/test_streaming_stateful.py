@@ -237,6 +237,8 @@ def test_streaming_prefix_features_match_batch(spark, tiny_pdf, tmp_path):
     )
     from nuclei_feature_extraction_spark.streaming.features import (
         COOC_OUT,
+        RUNLEN_OUT,
+        RUNLEN_SIGS,
         SHAPE_OUT,
         XCOOC_OUT,
         streaming_prefix_features,
@@ -278,11 +280,14 @@ def test_streaming_prefix_features_match_batch(spark, tiny_pdf, tmp_path):
         [f"cooc_{s}_d1_k4" for s in COOC_OUT]
         + [f"shape_{s}" for s in SHAPE_OUT]
         + [f"xcooc_{s}_d1" for s in XCOOC_OUT]
+        + [f"runlen_{st}_{sig}" for sig, _ in RUNLEN_SIGS
+           for st in RUNLEN_OUT]
     )
     want = (
         prefix_features(
             spark.createDataFrame(tiny_pdf),
-            families=("cooc", "xcooc", "shape"), lags=(1,), levels=(4,),
+            families=("cooc", "runlen", "xcooc", "shape"),
+            lags=(1,), levels=(4,),
         )
         .select("conv_id", "turn_idx", *cols)
         .toPandas()
