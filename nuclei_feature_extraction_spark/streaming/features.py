@@ -29,6 +29,7 @@ between batches (append-only transcript logs replayed in order)."""
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -105,94 +106,176 @@ def _xlogx(a):
     return np.where(a > 0, a * np.log(np.maximum(a, 1e-300)), 0.0)
 
 
-def _cooc_stats(c: np.ndarray) -> list[float]:
-    """All 14 Haralick stats from the running symmetric count matrix —
-    same formulas and degenerate-case guards as the batch kernel
-    (kernels.cooc_prefix)."""
-    s = c.sum()
-    if s <= 0:
-        return [np.nan] * len(COOC_OUT)
-    p = c / s
-    px = p.sum(axis=1)
-    mu = float((_IV * px).sum())
-    var = float((_IV**2 * px).sum()) - mu * mu
-    eij = float((_IG * _JG * p).sum())
-    corr = (eij - mu * mu) / var if var > 1e-9 else np.nan
-    contrast = float(((_IG - _JG) ** 2 * p).sum())
-    dissim = float((np.abs(_IG - _JG) * p).sum())
-    entropy = float(-_xlogx(p).sum())
-    asm = float((p**2).sum())
-    psum = np.bincount(_KSUM.ravel(), weights=p.ravel(), minlength=2 * K - 1)
-    kk = np.arange(2 * K - 1, dtype=np.float64)
-    sa = float((kk * psum).sum())
-    sv = float(((kk - sa) ** 2 * psum).sum())
-    se = float(-_xlogx(psum).sum())
-    idm = float((p / (1.0 + (_IG - _JG) ** 2)).sum())
-    pdiff = np.bincount(_LDIFF.ravel(), weights=p.ravel(), minlength=K)
-    ll = np.arange(K, dtype=np.float64)
-    da = float((ll * pdiff).sum())
-    dv = float(((ll - da) ** 2 * pdiff).sum())
-    hx = float(-_xlogx(px).sum())
-    imc1 = (entropy - 2 * hx) / hx if hx > 1e-9 else np.nan
-    imc2 = float(np.sqrt(max(1.0 - np.exp(-2.0 * (2 * hx - entropy)), 0.0)))
-    return [corr, contrast, dissim, entropy, asm, sa, sv, se, var,
-            idm, da, dv, imc1, imc2]
+# one-hot aggregation masks for the sum/difference marginals: a (n, 16)
+# probability block @ mask.T gives all rows' marginals in one matmul
+_M_SUM = np.zeros((2 * K - 1, K * K))
+_M_DIFF = np.zeros((K, K * K))
+for _i in range(K):
+    for _j in range(K):
+        _M_SUM[_i + _j, _i * K + _j] = 1.0
+        _M_DIFF[abs(_i - _j), _i * K + _j] = 1.0
 
 
-def _xcooc_stats(c: np.ndarray) -> list[float]:
-    """Cross-signal stats from the running ASYMMETRIC (KA, K) count
-    matrix — same formulas/guards as kernels.xcooc_prefix."""
-    s = c.sum()
-    if s <= 0:
-        return [np.nan] * len(XCOOC_OUT)
-    p = c / s
-    pa = p.sum(axis=1)
-    pb = p.sum(axis=0)
-    ia = np.arange(KA, dtype=np.float64)
-    jb = np.arange(K, dtype=np.float64)
-    mean_a = float((ia * pa).sum())
-    mean_b = float((jb * pb).sum())
-    var_a = float((ia**2 * pa).sum()) - mean_a**2
-    var_b = float((jb**2 * pb).sum()) - mean_b**2
-    cov = float(((_XAI * _XBJ) * p).sum()) - mean_a * mean_b
-    denom = var_a * var_b
-    corr = cov / float(np.sqrt(denom)) if denom > 1e-9 else np.nan
-    contrast = float(((_XAI - _XBJ) ** 2 * p).sum())
-    dissim = float((np.abs(_XAI - _XBJ) * p).sum())
-    asm = float((p**2).sum())
-    entropy = float(-_xlogx(p).sum())
-    hx = float(-_xlogx(pa).sum())
-    hy = float(-_xlogx(pb).sum())
-    mi = hx + hy - entropy
-    return [contrast, dissim, mean_a, mean_b, corr, asm, entropy, hx, hy, mi]
+def _cooc_stats_vec(C: np.ndarray) -> np.ndarray:
+    """(n, K, K) count snapshots → (n, 14) Haralick stats, fully
+    vectorized over the rows of a micro-batch group (the per-row
+    tiny-matrix numpy formulation cost ~50 numpy dispatches per row —
+    ~20× this)."""
+    n = len(C)
+    s = C.sum(axis=(1, 2))
+    ok = s > 0
+    safe = np.where(ok, s, 1.0)
+    p = C / safe[:, None, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        px = p.sum(axis=2)
+        mu = px @ _IV
+        var = px @ (_IV**2) - mu * mu
+        eij = np.einsum("nij,ij->n", p, _IG * _JG)
+        corr = np.where(var > 1e-9, (eij - mu * mu) / var, np.nan)
+        contrast = np.einsum("nij,ij->n", p, (_IG - _JG) ** 2)
+        dissim = np.einsum("nij,ij->n", p, np.abs(_IG - _JG))
+        entropy = -_xlogx(p).sum(axis=(1, 2))
+        asm = (p**2).sum(axis=(1, 2))
+        p16 = p.reshape(n, K * K)
+        psum = p16 @ _M_SUM.T
+        kk = np.arange(2 * K - 1, dtype=np.float64)
+        sa = psum @ kk
+        sv = ((kk[None, :] - sa[:, None]) ** 2 * psum).sum(axis=1)
+        se = -_xlogx(psum).sum(axis=1)
+        idm = np.einsum("nij,ij->n", p, 1.0 / (1.0 + (_IG - _JG) ** 2))
+        pdiff = p16 @ _M_DIFF.T
+        ll = np.arange(K, dtype=np.float64)
+        da = pdiff @ ll
+        dv = ((ll[None, :] - da[:, None]) ** 2 * pdiff).sum(axis=1)
+        hx = -_xlogx(px).sum(axis=1)
+        imc1 = np.where(hx > 1e-9, (entropy - 2 * hx) / hx, np.nan)
+        imc2 = np.sqrt(np.clip(1.0 - np.exp(-2.0 * (2 * hx - entropy)), 0.0, None))
+    out = np.column_stack([
+        corr, contrast, dissim, entropy, asm, sa, sv, se, var,
+        idm, da, dv, imc1, imc2,
+    ])
+    out[~ok] = np.nan
+    return out
 
 
-def _runlen_row(st: list, hist: dict, v: int, g: int, np1: int) -> list[float]:
+def _xcooc_stats_vec(C: np.ndarray) -> np.ndarray:
+    """(n, KA, K) asymmetric cross-count snapshots → (n, 10) stats
+    (same formulas/guards as kernels.xcooc_prefix)."""
+    s = C.sum(axis=(1, 2))
+    ok = s > 0
+    safe = np.where(ok, s, 1.0)
+    p = C / safe[:, None, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pa = p.sum(axis=2)
+        pb = p.sum(axis=1)
+        ia = np.arange(KA, dtype=np.float64)
+        jb = np.arange(K, dtype=np.float64)
+        mean_a = pa @ ia
+        mean_b = pb @ jb
+        var_a = pa @ (ia**2) - mean_a**2
+        var_b = pb @ (jb**2) - mean_b**2
+        cov = np.einsum("nij,ij->n", p, _XAI * _XBJ) - mean_a * mean_b
+        denom = var_a * var_b
+        corr = np.where(
+            denom > 1e-9, cov / np.sqrt(np.where(denom > 0, denom, 1.0)),
+            np.nan,
+        )
+        contrast = np.einsum("nij,ij->n", p, (_XAI - _XBJ) ** 2)
+        dissim = np.einsum("nij,ij->n", p, np.abs(_XAI - _XBJ))
+        asm = (p**2).sum(axis=(1, 2))
+        entropy = -_xlogx(p).sum(axis=(1, 2))
+        hx = -_xlogx(pa).sum(axis=1)
+        hy = -_xlogx(pb).sum(axis=1)
+        mi = hx + hy - entropy
+    out = np.column_stack([
+        contrast, dissim, mean_a, mean_b, corr, asm, entropy, hx, hy, mi,
+    ])
+    out[~ok] = np.nan
+    return out
+
+
+def _shape_stats_vec(snap: np.ndarray) -> np.ndarray:
+    """(n, 11) moment snapshots [n, su, sy, suu, syy, suy, path, umin,
+    umax, ymin, ymax] → (n, 7) shape stats (guards mirror
+    kernels.shape_prefix)."""
+    (nn, su, sy, suu, syy, suy, path, umin, umax, ymin, ymax) = snap.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu, my = su / nn, sy / nn
+        a = suu / nn - mu * mu
+        c2 = syy / nn - my * my
+        b = suy / nn - mu * my
+        tr = a + c2
+        disc = np.sqrt(((a - c2) / 2.0) ** 2 + b * b)
+        l1 = tr / 2.0 + disc
+        l2 = np.clip(tr / 2.0 - disc, 0.0, None)
+        valid = (nn >= 2) & (l1 > 0)
+        major = np.where(valid, 2.0 * np.sqrt(np.clip(l1, 0, None)), np.nan)
+        minor = np.where(valid, 2.0 * np.sqrt(l2), np.nan)
+        ecc = np.where(
+            valid, np.sqrt(np.clip((l1 - l2) / np.where(l1 > 0, l1, 1.0), 0, 1)),
+            np.nan,
+        )
+        vx = np.where(np.abs(b) > 1e-12, b, np.where(a >= c2, 1.0, 0.0))
+        vy = np.where(np.abs(b) > 1e-12, l1 - a, np.where(a >= c2, 0.0, 1.0))
+        angle = np.where(
+            valid & (disc > 1e-12), np.arctan2(vy, vx) % np.pi, np.nan
+        )
+        two = nn >= 2
+        area = (umax - umin) * (ymax - ymin)
+        compacity = np.where(
+            two & (area > 0), path * path / (4 * np.pi * area), np.nan
+        )
+    return np.column_stack([
+        major, minor, angle, ecc,
+        np.where(two, path, np.nan), np.where(two, area, np.nan), compacity,
+    ])
+
+
+def _runlen_stats_vec(snap: np.ndarray, np1: np.ndarray) -> np.ndarray:
+    """(n, 15) accumulator snapshots [r, c_sre, c_lre, c_gln, c_lgre,
+    c_hgre, 8 joint emphases, c_rln] → (n, 18) GLRLM stats."""
+    r = snap[:, 0]
+    mean_len = np1 / r
+    lre = snap[:, 2] / r
+    cols = [r, r / np1, mean_len, snap[:, 1] / r, lre, lre - mean_len**2]
+    cols += [snap[:, j] / r for j in range(3, 15)]
+    # order: gln, lgre, hgre at 3..5; joints 6..13; rln last (14) — map
+    # into RUNLEN_OUT order [... gln lgre hgre RLN sr* lr*]
+    out = np.column_stack(cols)
+    # current layout: [r, rp, mean_len, sre, lre, rlvar, gln, lgre,
+    #                  hgre, srlge, srhge, srmge, srege, lrlge, lrhge,
+    #                  lrmge, lrege, rln] — move rln before the joints
+    reordered = np.empty_like(out)
+    reordered[:, :9] = out[:, :9]
+    reordered[:, 9] = out[:, 17]       # rln
+    reordered[:, 10:18] = out[:, 9:17]
+    return reordered
+
+
+def _runlen_advance(st: list, hist: dict, v: int, g: int) -> None:
     """Advance ONE signal's run-length state by one row of level ``v``
-    and return the 18 GLRLM stats — the streaming twin of the batch
-    ``kernels.runlen_prefix`` identities (same per-row deltas, same
-    signed dec/inc RLN bookkeeping), with the sufficient statistics as
-    scalars + the sparse run-length histogram (distinct lengths are
-    O(sqrt(rows)), so state stays tiny)."""
-    r = st[0]
-    if r == 0.0 or v != int(st[1]):  # new run
-        r += 1.0
-        st[0] = r
+    — the streaming twin of the batch kernels.runlen_prefix identities
+    (same per-row deltas, same signed dec/inc RLN bookkeeping), with
+    the sufficient statistics as scalars + the sparse run-length
+    histogram (distinct lengths are O(sqrt(rows)), so state stays
+    tiny)."""
+    if st[0] == 0.0 or v != int(st[1]):  # new run
+        st[0] += 1.0
         st[1] = float(v)
         st[2] = 1.0
         rvi = 17 + v
         st[rvi] += 1.0
         st[5] += 2.0 * st[rvi] - 1.0              # gln
+        short_d = 1.0
+        long_d = 1.0
         low = 1.0 / (v + 1) ** 2
         high = float((v + 1) ** 2)
         st[6] += low                               # lgre
         st[7] += high                              # hgre
-        short_d = 1.0
-        long_d = 1.0
         c1 = hist.get(1, 0)
         st[16] += 2.0 * c1 + 1.0                   # rln Σc²: inc bucket 1
         hist[1] = c1 + 1
-    else:  # grow cur run
+    else:  # grow current run
         l = int(st[2]) + 1
         st[2] = float(l)
         short_d = 1.0 / l**2 - 1.0 / (l - 1) ** 2
@@ -221,46 +304,6 @@ def _runlen_row(st: list, hist: dict, v: int, g: int, np1: int) -> list[float]:
     st[13] += high * long_d                        # lrhge
     st[14] += midw * long_d                        # lrmge
     st[15] += extw * long_d                        # lrege
-    r = st[0]
-    mean_len = np1 / r
-    lre = st[4] / r
-    return [
-        r, r / np1, mean_len, st[3] / r, lre, lre - mean_len**2,
-        st[5] / r, st[6] / r, st[7] / r, st[16] / r,
-        st[8] / r, st[9] / r, st[10] / r, st[11] / r,
-        st[12] / r, st[13] / r, st[14] / r, st[15] / r,
-    ]
-
-
-def _shape_stats(n, su, sy, suu, syy, suy, path, umin, umax, ymin, ymax):
-    """Closed-form prefix PCA + span/compacity from the moment state —
-    same guards as kernels.shape_prefix."""
-    nanrow = [np.nan] * len(SHAPE_OUT)
-    if n < 2:
-        return nanrow
-    mu, my = su / n, sy / n
-    a = suu / n - mu * mu
-    c2 = syy / n - my * my
-    b = suy / n - mu * my
-    tr = a + c2
-    disc = float(np.sqrt(((a - c2) / 2.0) ** 2 + b * b))
-    l1 = tr / 2.0 + disc
-    l2 = max(tr / 2.0 - disc, 0.0)
-    if l1 > 0:
-        major = 2.0 * float(np.sqrt(max(l1, 0.0)))
-        minor = 2.0 * float(np.sqrt(l2))
-        ecc = float(np.sqrt(min(max((l1 - l2) / l1, 0.0), 1.0)))
-        if disc > 1e-12:
-            vx = b if abs(b) > 1e-12 else (1.0 if a >= c2 else 0.0)
-            vy = (l1 - a) if abs(b) > 1e-12 else (0.0 if a >= c2 else 1.0)
-            angle = float(np.arctan2(vy, vx) % np.pi)
-        else:
-            angle = np.nan
-    else:
-        major = minor = ecc = angle = np.nan
-    area = (umax - umin) * (ymax - ymin)
-    compacity = path * path / (4 * np.pi * area) if area > 0 else np.nan
-    return [major, minor, angle, ecc, path, area, compacity]
 
 
 def _update(
@@ -283,16 +326,16 @@ def _update(
         (counts_l, prev_lev, n, su, sy, suu, syy, suy, path,
          umin, umax, ymin, ymax, t0_us, prev_u, prev_y,
          xcounts_l, prev_role) = got[:18]
-        counts = np.array(counts_l, dtype=np.float64).reshape(K, K)
-        xcounts = np.array(xcounts_l, dtype=np.float64).reshape(KA, K)
+        counts = list(counts_l)
+        xcounts = list(xcounts_l)
         rl_states, rl_hists = [], []
         for si in range(len(RUNLEN_SIGS)):
             sc, hl, hc = got[18 + 3 * si : 18 + 3 * si + 3]
             rl_states.append(list(sc))
             rl_hists.append(dict(zip(hl, hc)))
     else:
-        counts = np.zeros((K, K))
-        xcounts = np.zeros((KA, K))
+        counts = [0.0] * (K * K)
+        xcounts = [0.0] * (KA * K)
         prev_lev, prev_role, n = -1, -1, 0
         su = sy = suu = syy = suy = path = 0.0
         umin = ymin = np.inf
@@ -304,80 +347,82 @@ def _update(
         ]
         rl_hists = [dict() for _ in RUNLEN_SIGS]
 
-    out = {c: [] for c in ("conv_id", "turn_idx", "ts")}
-    cooc_cols = [[] for _ in COOC_OUT]
-    shape_cols = [[] for _ in SHAPE_OUT]
-    xcooc_cols = [[] for _ in XCOOC_OUT]
-    runlen_cols = [[] for _ in range(len(RUNLEN_SIGS) * len(RUNLEN_OUT))]
-    for i in range(len(rows)):
+    # ---- per-row STATE updates only (plain python, no numpy in the
+    # loop); stat evaluation is vectorized over the snapshots below
+    m = len(rows)
+    cooc_snap = np.empty((m, K * K))
+    xcooc_snap = np.empty((m, KA * K))
+    shape_snap = np.empty((m, 11))
+    rl_snaps = [np.empty((m, 15)) for _ in RUNLEN_SIGS]
+    np1s = np.empty(m)
+    hypot = math.hypot
+    for i in range(m):
         lev = int(levs[i])
         role = int(roles[i])
-        pos = n  # 0-based row index within the conversation (pre-update)
+        pos = n  # 0-based row index within the conversation
         if prev_lev >= 0:
-            counts[prev_lev, lev] += 1.0
-            counts[lev, prev_lev] += 1.0
+            counts[prev_lev * K + lev] += 1.0
+            counts[lev * K + prev_lev] += 1.0
         if prev_role >= 0:
-            xcounts[prev_role, lev] += 1.0
+            xcounts[prev_role * K + lev] += 1.0
         prev_lev = lev
         prev_role = role
         u = (us[i] - t0_us) / 1e6
         y = tlen[i]
         if n >= 1:
-            path += float(np.hypot(u - prev_u, y - prev_y))
+            path += float(hypot(u - prev_u, y - prev_y))
         prev_u, prev_y = u, y
         n += 1
         su += u; sy += y
         suu += u * u; syy += y * y; suy += u * y
-        umin = min(umin, u); umax = max(umax, u)
-        ymin = min(ymin, y); ymax = max(ymax, y)
+        if u < umin: umin = u
+        if u > umax: umax = u
+        if y < ymin: ymin = y
+        if y > ymax: ymax = y
 
-        out["conv_id"].append(key[0])
-        out["turn_idx"].append(rows["turn_idx"].iloc[i])
-        out["ts"].append(rows["ts"].iloc[i])
-        for vals, v in zip(cooc_cols, _cooc_stats(counts)):
-            vals.append(v)
-        for vals, v in zip(
-            shape_cols,
-            _shape_stats(n, su, sy, suu, syy, suy, path,
-                         umin, umax, ymin, ymax),
-        ):
-            vals.append(v)
-        for vals, v in zip(xcooc_cols, _xcooc_stats(xcounts)):
-            vals.append(v)
+        cooc_snap[i] = counts
+        xcooc_snap[i] = xcounts
+        shape_snap[i] = (n, su, sy, suu, syy, suy, path,
+                         umin, umax, ymin, ymax)
+        np1s[i] = n
         sig_vals = (role, int(has_tool[i]), lev, min(pos // 4, 3))
         for si, (_, g) in enumerate(RUNLEN_SIGS):
-            stats = _runlen_row(rl_states[si], rl_hists[si],
-                                sig_vals[si], g, n)
-            base = si * len(RUNLEN_OUT)
-            for k2, v in enumerate(stats):
-                runlen_cols[base + k2].append(v)
+            st = rl_states[si]
+            _runlen_advance(st, rl_hists[si], sig_vals[si], g)
+            rl_snaps[si][i, 0] = st[0]
+            rl_snaps[si][i, 1:15] = st[3:17]
 
-    rl_payload = []
-    for si in range(len(RUNLEN_SIGS)):
-        rl_payload.append([float(v) for v in rl_states[si]])
-        hl = sorted(rl_hists[si])
-        rl_payload.append([int(v) for v in hl])
-        rl_payload.append([int(rl_hists[si][v]) for v in hl])
     state.update((
-        [int(v) for v in counts.ravel()], int(prev_lev), int(n),
+        [int(v) for v in counts], int(prev_lev), int(n),
         float(su), float(sy), float(suu), float(syy), float(suy),
         float(path), float(umin), float(umax), float(ymin), float(ymax),
         int(t0_us), float(prev_u), float(prev_y),
-        [int(v) for v in xcounts.ravel()], int(prev_role),
-        *rl_payload,
+        [int(v) for v in xcounts], int(prev_role),
+        *[x for si in range(len(RUNLEN_SIGS)) for x in (
+            [float(v) for v in rl_states[si]],
+            [int(v) for v in sorted(rl_hists[si])],
+            [int(rl_hists[si][v]) for v in sorted(rl_hists[si])],
+        )],
     ))
-    data = dict(out)
-    for nm, vals in zip([f"cooc_{s}_d1_k4" for s in COOC_OUT], cooc_cols):
-        data[nm] = vals
-    for nm, vals in zip([f"shape_{s}" for s in SHAPE_OUT], shape_cols):
-        data[nm] = vals
-    for nm, vals in zip([f"xcooc_{s}_d1" for s in XCOOC_OUT], xcooc_cols):
-        data[nm] = vals
-    rl_names = [
-        f"runlen_{st}_{sig}" for sig, _ in RUNLEN_SIGS for st in RUNLEN_OUT
-    ]
-    for nm, vals in zip(rl_names, runlen_cols):
-        data[nm] = vals
+
+    data = {
+        "conv_id": key[0],
+        "turn_idx": rows["turn_idx"].to_numpy(),
+        "ts": rows["ts"].to_numpy(),
+    }
+    cooc_stats = _cooc_stats_vec(cooc_snap.reshape(m, K, K))
+    for j, s_ in enumerate(COOC_OUT):
+        data[f"cooc_{s_}_d1_k4"] = cooc_stats[:, j]
+    shape_stats = _shape_stats_vec(shape_snap)
+    for j, s_ in enumerate(SHAPE_OUT):
+        data[f"shape_{s_}"] = shape_stats[:, j]
+    xc = _xcooc_stats_vec(xcooc_snap.reshape(m, KA, K))
+    for j, s_ in enumerate(XCOOC_OUT):
+        data[f"xcooc_{s_}_d1"] = xc[:, j]
+    for si, (sig, _) in enumerate(RUNLEN_SIGS):
+        rl = _runlen_stats_vec(rl_snaps[si], np1s)
+        for j, s_ in enumerate(RUNLEN_OUT):
+            data[f"runlen_{s_}_{sig}"] = rl[:, j]
     yield pd.DataFrame(data)
 
 
