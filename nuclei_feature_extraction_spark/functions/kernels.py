@@ -744,6 +744,7 @@ def compute_features_pdf(
     conv_col: str = "conv_id",
     order_cols: Sequence[str] = ("ts", "turn_idx"),
     passthrough: bool = False,
+    assume_sorted: bool = False,
 ) -> pd.DataFrame:
     """Compute all requested families for a pandas chunk holding WHOLE
     conversations. Returns (conv_id, turn_idx) + feature columns, or —
@@ -753,8 +754,13 @@ def compute_features_pdf(
     Shared intermediates (sort, conv codes, tlen levels) are computed
     once across families — the CSE the reference misses when it
     re-derives grayscale per kernel (texture.rs:36,189,332).
+    ``assume_sorted``: the Spark path repartitions + sortWithinPartitions
+    before the Arrow pass, so every chunk arrives already ordered — the
+    pandas lexsort re-pass (string keys, one take per column) is pure
+    overhead there.
     """
-    pdf = pdf.sort_values([conv_col, *order_cols], kind="mergesort")
+    if not assume_sorted:
+        pdf = pdf.sort_values([conv_col, *order_cols], kind="mergesort")
     conv, _ = pd.factorize(pdf[conv_col].to_numpy(), sort=False)
     n = len(pdf)
     first = np.empty(n, dtype=bool)
@@ -897,12 +903,12 @@ def prefix_features(
             if len(head):
                 yield compute_features_pdf(
                     head, families, lags, levels, conv_col, order_cols,
-                    passthrough=passthrough,
+                    passthrough=passthrough, assume_sorted=True,
                 )
         if carry is not None and len(carry):
             yield compute_features_pdf(
                 carry, families, lags, levels, conv_col, order_cols,
-                passthrough=passthrough,
+                passthrough=passthrough, assume_sorted=True,
             )
 
     return prep.mapInPandas(gen, schema)

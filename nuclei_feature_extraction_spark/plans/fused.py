@@ -383,7 +383,8 @@ def build_features_fused(
     def process(chunk: pd.DataFrame) -> pd.DataFrame:
         prof, cfg = bc.value
         base = compute_features_pdf(
-            chunk, ("cooc", "runlen", "xcooc", "shape"), lags, levels, passthrough=True
+            chunk, ("cooc", "runlen", "xcooc", "shape"), lags, levels,
+            passthrough=True, assume_sorted=True,
         )
         win = _window_features_pdf(base, gap_minutes)
         # column-wise adoption instead of pd.concat(axis=1): concat
