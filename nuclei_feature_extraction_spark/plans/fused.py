@@ -83,7 +83,7 @@ def _seg_shift_f(arr: np.ndarray, pos: np.ndarray, k: int) -> np.ndarray:
 
 
 def _window_features_pdf(
-    pdf: pd.DataFrame, gap_minutes: float = 30.0
+    pdf: pd.DataFrame, gap_minutes: float = 30.0, pos_offset: int = 0
 ) -> pd.DataFrame:
     """All window-family features over a sorted multi-conversation chunk,
     numerically equal (1e-9) to the Catalyst expressions in
@@ -102,7 +102,11 @@ def _window_features_pdf(
     first = np.empty(n, dtype=bool)
     first[0] = True
     first[1:] = conv[1:] != conv[:-1]
-    pos = _seg_pos(first)
+    # pos_offset: ABSOLUTE position of row 0 within its conversation —
+    # used by the streaming path, whose frame is a single conversation's
+    # carried tail + new rows (position-dependent terms: gabor carriers,
+    # window-fill counts, lag validity). Batch chunks pass 0.
+    pos = _seg_pos(first) + pos_offset
     seg = np.cumsum(first)
 
     tlen = pdf["tlen"].to_numpy(dtype=np.float64)

@@ -10,3 +10,6 @@ from nuclei_feature_extraction_spark.streaming.stateful import (  # noqa: F401
 from nuclei_feature_extraction_spark.streaming.features import (  # noqa: F401
     streaming_prefix_features,
 )
+from nuclei_feature_extraction_spark.streaming.windows import (  # noqa: F401
+    streaming_window_features,
+)

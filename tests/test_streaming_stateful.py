@@ -380,3 +380,71 @@ def test_streaming_features_resume_from_checkpoint(spark, tiny_pdf, tmp_path):
             got[c].to_numpy(), want[c].to_numpy(),
             rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c,
         )
+
+
+def test_streaming_window_features_match_batch(spark, tiny_pdf, tmp_path):
+    """Streaming window stack (sessionize + lag + rolling/masked/
+    circular + bank + Gabor, 45 columns) == the batch fused window
+    implementation, across a 3-micro-batch replay that slices every
+    conversation twice — the carried 64-row tail must reproduce every
+    lookback exactly."""
+    from nuclei_feature_extraction_spark.plans.fused import (
+        _window_features_pdf,
+    )
+    from nuclei_feature_extraction_spark.streaming.windows import (
+        _FLOAT_COLS,
+        streaming_window_features,
+    )
+
+    src = tmp_path / "wfsrc"
+    src.mkdir()
+    pdf = tiny_pdf.sort_values(["conv_id", "ts", "turn_idx"])
+    cc = pdf.groupby("conv_id").cumcount()
+    size = pdf.groupby("conv_id")["turn_idx"].transform("size")
+    third1, third2 = cc < size // 3, (cc >= size // 3) & (cc < 2 * size // 3)
+    pdf[third1].to_parquet(src / "p0.parquet", index=False)
+    pdf[third2].to_parquet(src / "p1.parquet", index=False)
+    pdf[~(third1 | third2)].to_parquet(src / "p2.parquet", index=False)
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_window_features(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("swin")
+        .option("checkpointLocation", str(tmp_path / "wfck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.sql("SELECT * FROM swin").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    bpdf = pdf.copy()
+    bpdf["tlen"] = bpdf["text"].str.len().astype(float)
+    want = _window_features_pdf(bpdf.reset_index(drop=True))
+    want["conv_id"] = bpdf["conv_id"].to_numpy()
+    want["turn_idx"] = bpdf["turn_idx"].to_numpy()
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    assert len(got) == len(want) == len(tiny_pdf)
+    assert (got["session_id"].to_numpy()
+            == want["session_id"].to_numpy()).all()
+    for k in (1, 2, 3):
+        a = got[f"role_lag{k}"].fillna("∅")
+        b = want[f"role_lag{k}"].fillna("∅")
+        assert (a.to_numpy() == b.to_numpy()).all(), f"role_lag{k}"
+    for c in _FLOAT_COLS:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[c].to_numpy(),
+            rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c,
+        )
