@@ -448,3 +448,61 @@ def test_streaming_window_features_match_batch(spark, tiny_pdf, tmp_path):
             got[c].to_numpy(), want[c].to_numpy(),
             rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c,
         )
+
+
+def test_streaming_broadcast_asof_matches_batch(spark, tmp_path):
+    """The keyless broadcast as-of (sorted side arrays + searchsorted in
+    a pandas UDF) is stateless, so the SAME operator runs on a streaming
+    left side unchanged — point-in-time enrichment of a live feed."""
+    from nuclei_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+    )
+
+    left = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([0, 10, 20, 30, 40, 50, 60, 70], unit="m"),
+        }
+    )
+    left["ts"] = left["ts"].astype("datetime64[us]")
+    side = pd.DataFrame(
+        {
+            "effective_ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([5, 35, 65], unit="m"),
+            "model": ["m1", "m2", "m3"],
+        }
+    )
+    side["effective_ts"] = side["effective_ts"].astype("datetime64[us]")
+    src = tmp_path / "asofsrc"
+    src.mkdir()
+    left.to_parquet(src / "p0.parquet", index=False)
+    side_df = spark.createDataFrame(side)
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        asof_join_broadcast(stream, side_df, left_ts="ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sasof")
+        .option("checkpointLocation", str(tmp_path / "asofck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM sasof").toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        asof_join_broadcast(spark.createDataFrame(left), side_df, left_ts="ts")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (
+        got["model"].fillna("∅").to_numpy()
+        == want["model"].fillna("∅").to_numpy()
+    ).all()
+    assert got["model"].tolist() == [None, "m1", "m1", "m1", "m2", "m2", "m2", "m3"]
