@@ -142,22 +142,26 @@ def main(argv: list[str] | None = None) -> int:
         # only surviving docs' vectors participate
         emb = emb.join(cur.select(F.col(idc).alias(eid)), eid, "inner")
         vec_col = [c for c in emb.columns if c != eid][0]
-        dim = len(emb.select(vec_col).first()[0])
-        audit_e: dict = {}
-        pairs_e = embedding_near_dup_pairs(
-            emb, dim, threshold=args.embedding_threshold,
-            id_col=eid, vec_col=vec_col, audit=audit_e,
-        ).select(F.col("id_a"), F.col("id_b"))
-        groups_e = dup_groups(
-            cur.select(F.col(idc)), pairs_e, idc
-        )
-        cur = cur.join(
-            groups_e.filter("is_canonical").select(idc), idc, "inner"
-        )
-        m = cur.count()
-        record("embedding_near_dup", n, m,
-               threshold=args.embedding_threshold, lsh_audit=audit_e)
-        n = m
+        first_vec = emb.select(vec_col).first()
+        if first_vec is None:
+            # nothing to compare (empty corpus or disjoint ids) — record
+            # the no-op rather than crashing on the dim probe
+            record("embedding_near_dup", n, n, skipped="no surviving vectors")
+        else:
+            dim = len(first_vec[0])
+            audit_e: dict = {}
+            pairs_e = embedding_near_dup_pairs(
+                emb, dim, threshold=args.embedding_threshold,
+                id_col=eid, vec_col=vec_col, audit=audit_e,
+            ).select(F.col("id_a"), F.col("id_b"))
+            groups_e = dup_groups(cur.select(F.col(idc)), pairs_e, idc)
+            cur = cur.join(
+                groups_e.filter("is_canonical").select(idc), idc, "inner"
+            )
+            m = cur.count()
+            record("embedding_near_dup", n, m,
+                   threshold=args.embedding_threshold, lsh_audit=audit_e)
+            n = m
 
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
