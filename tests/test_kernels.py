@@ -272,3 +272,38 @@ def test_xcooc_mi_nonnegative_and_independent_zero():
     got2 = kernels.xcooc_prefix(conv, first, a, b2, 1)
     assert got2["mi"][-1] < 0.01
     assert got2["mi"][-1] > -1e-9
+
+
+def test_seg_cumsum_fallback_matches_direct(monkeypatch):
+    """The public-groupby fallback (taken when the private cython probe
+    fails on a future pandas) must be value-identical to the direct
+    path — including NaN propagation and the cummax/cummin span path."""
+    rng = np.random.default_rng(41)
+    n = 5000
+    first = np.zeros(n, dtype=bool)
+    first[0] = True
+    first[rng.integers(1, n, 40)] = True
+    cols = [rng.random(n) * 100 for _ in range(5)]
+    cols[0][7] = np.nan
+    direct_block = kernels._seg_cumsum_block(cols, first)
+    direct_one = kernels._seg_cumsum(cols[1], first)
+    u = rng.random(n) * 50
+    y = rng.random(n) * 10
+    conv = np.cumsum(first) - 1
+    direct_shape = kernels.shape_prefix(conv, first, np.sort(u), y)
+
+    monkeypatch.setattr(kernels, "_GROUP_CUMSUM", None)
+    monkeypatch.setattr(kernels, "_GROUP_CUMMAX", None)
+    monkeypatch.setattr(kernels, "_GROUP_CUMMIN", None)
+    fb_block = kernels._seg_cumsum_block(cols, first)
+    fb_one = kernels._seg_cumsum(cols[1], first)
+    fb_shape = kernels.shape_prefix(conv, first, np.sort(u), y)
+
+    for a, b in zip(direct_block, fb_block):
+        assert np.array_equal(a, b, equal_nan=True)
+    assert np.array_equal(direct_one, fb_one)
+    for s in ("span_area", "compacity", "pca_major"):
+        np.testing.assert_allclose(
+            direct_shape[s], fb_shape[s], rtol=1e-12, equal_nan=True,
+            err_msg=s,
+        )
