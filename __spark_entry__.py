@@ -74,6 +74,64 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("event_id", "user_id", "session_id")
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch == STREAMING through the driver's own gate: the stateful
+    streaming sessionizer (applyInPandasWithState,
+    streaming/stateful.py) replayed over a deterministic 2-file
+    time-split of events — every conversation crosses the micro-batch
+    boundary — then hash-checked against the SAME DuckDB oracle as the
+    batch ``sessionize`` query. Proves slicing-invariant streaming
+    semantics with the gate's own repr-hash, not just pytest."""
+    import os
+    import tempfile
+
+    from nuclei_feature_extraction_spark.streaming.stateful import (
+        streaming_turn_state,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        # event_id rides as turn_idx: same (ts, event_id) tie-break order
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+    )
+    pdf = ev.toPandas().sort_values(["conv_id", "ts", "turn_idx"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't scan NANOS
+    cut = pdf["ts"].quantile(0.5)
+    tmp = tempfile.mkdtemp(prefix="nfx_stream_gate_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    # time split keeps per-conversation event-time monotone across
+    # micro-batches (the stateful operator's replay contract)
+    pdf[pdf["ts"] <= cut].to_parquet(os.path.join(src, "p0.parquet"), index=False)
+    pdf[pdf["ts"] > cut].to_parquet(os.path.join(src, "p1.parquet"), index=False)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qname = "nfx_sq_" + os.path.basename(tmp).replace("nfx_stream_gate_", "")
+    q = (
+        streaming_turn_state(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {qname}").select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        F.col("conv_id").cast("long").alias("user_id"),
+        "session_id",
+    )
+
+
 def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _user_window()
     df = _events(spark, sf_dir)
@@ -821,6 +879,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionize": q_sessionize,
+        "streaming_sessionize": q_streaming_sessionize,
         "lag_gap": q_lag_gap,
         "rolling": q_rolling,
         "rolling_range": q_rolling_range,
@@ -898,6 +957,13 @@ _SWRATIO = f"round({_SWHITS} / greatest(len({_LTOKS}), 1)::DOUBLE, 6)"
 def oracle_sql() -> dict[str, str]:
     return {
         "sessionize": f"""
+            SELECT event_id, user_id,
+                   CAST(SUM(CASE WHEN gap_s > 1800.0 THEN 1 ELSE 0 END)
+                        OVER ({_WF}) AS INTEGER) AS session_id
+            FROM (SELECT *, epoch(ts) - lag(epoch(ts)) OVER ({_W}) AS gap_s
+                  FROM events)
+        """,
+        "streaming_sessionize": f"""
             SELECT event_id, user_id,
                    CAST(SUM(CASE WHEN gap_s > 1800.0 THEN 1 ELSE 0 END)
                         OVER ({_WF}) AS INTEGER) AS session_id
