@@ -132,6 +132,53 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through the gate: documents replayed in two
+    micro-batches with duplicates potentially split across the boundary;
+    the surviving DISTINCT TEXT SET must equal DuckDB's (projecting text
+    only keeps the check deterministic — which copy of a duplicate wins
+    first-arrival is an implementation detail)."""
+    import os
+    import tempfile
+
+    from nuclei_feature_extraction_spark.streaming.dedup import (
+        streaming_dedup_exact,
+    )
+
+    import pandas as pd
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+    pdf["ts"] = pd.Timestamp("2024-01-01").as_unit("us")
+    tmp = tempfile.mkdtemp(prefix="nfx_sdedup_gate_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(os.path.join(src, "p0.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(os.path.join(src, "p1.parquet"), index=False)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qname = "nfx_sd_" + os.path.basename(tmp).replace("nfx_sdedup_gate_", "")
+    q = (
+        streaming_dedup_exact(stream, watermark=None)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT text FROM {qname}")
+
+
 def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _user_window()
     df = _events(spark, sf_dir)
@@ -880,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionize": q_sessionize,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
         "lag_gap": q_lag_gap,
         "rolling": q_rolling,
         "rolling_range": q_rolling_range,
@@ -969,6 +1017,9 @@ def oracle_sql() -> dict[str, str]:
                         OVER ({_WF}) AS INTEGER) AS session_id
             FROM (SELECT *, epoch(ts) - lag(epoch(ts)) OVER ({_W}) AS gap_s
                   FROM events)
+        """,
+        "streaming_dedup": """
+            SELECT DISTINCT text FROM documents
         """,
         "lag_gap": f"""
             SELECT event_id,
