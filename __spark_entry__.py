@@ -771,6 +771,167 @@ def q_prefix_runlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_as_role_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events → transcript shape with VARYING roles (event_type → role,
+    the q_prefix_xcooc mapping) so role-dependent features are
+    non-trivial; text-length signal from value as elsewhere."""
+    ev = _events(spark, sf_dir)
+    w = _user_window()
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.expr(
+            "CASE event_type WHEN 'click' THEN 'user' "
+            "WHEN 'error' THEN 'assistant' WHEN 'purchase' THEN 'tool' "
+            "WHEN 'signup' THEN 'system' ELSE 'other' END"
+        ).alias("role"),
+        F.expr("repeat('x', cast(greatest(floor(value * 10), 0) as int))").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+        "event_id",
+    )
+
+
+def _replay_stream(spark: SparkSession, tr: DataFrame, op, prefix: str):
+    """Deterministic 2-micro-batch replay harness for the streaming gate
+    queries: write the transcript rows as two parquet files split at the
+    median ts (per-conversation event-time stays monotone across the
+    micro-batch boundary — the stateful operators' replay contract),
+    stream them file-per-trigger through ``op``, and return the memory
+    sink's content joined back to (conv_id, turn_idx) → event_id."""
+    import tempfile
+
+    pdf = tr.toPandas().sort_values(["conv_id", "ts", "turn_idx"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't scan NANOS
+    # all-null object columns (tool) must keep a string arrow type
+    for c in ("role", "text", "tool"):
+        if c in pdf.columns:
+            pdf[c] = pdf[c].astype("string")
+    cut = pdf["ts"].quantile(0.5)
+    tmp = tempfile.mkdtemp(prefix=f"nfx_{prefix}_gate_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    cols = [c for c in pdf.columns if c != "event_id"]
+    pdf.loc[pdf["ts"] <= cut, cols].to_parquet(
+        os.path.join(src, "p0.parquet"), index=False
+    )
+    pdf.loc[pdf["ts"] > cut, cols].to_parquet(
+        os.path.join(src, "p1.parquet"), index=False
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qname = f"nfx_{prefix}_" + os.path.basename(tmp).rsplit("_", 1)[-1]
+    q = (
+        op(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {qname}")
+    key = tr.select("conv_id", "turn_idx", "event_id")
+    return key.join(out, on=["conv_id", "turn_idx"])
+
+
+_RL_GATE_SEL = {
+    "runlen_rp_tlen4": "rl_rp",
+    "runlen_mean_len_tlen4": "rl_mean_len",
+    "runlen_lre_tlen4": "rl_lre",
+    "runlen_gln_tlen4": "rl_gln",
+    "runlen_hgre_tlen4": "rl_hgre",
+    "runlen_rlvar_tlen4": "rl_rlvar",
+    "runlen_rln_tlen4": "rl_rln",
+    "runlen_lrhge_tlen4": "rl_lrhge",
+    "runlen_lrege_tlen4": "rl_lrege",
+}
+
+
+def q_streaming_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING prefix-kernel stack (all four families: cooc,
+    xcooc, runlen — shape is pytest-allclose) through the driver's own
+    gate: events replayed in two micro-batches with every conversation
+    crossing the boundary, hash-checked against the SAME DuckDB oracles
+    as the batch prefix queries. The exposed stats use exact-integer
+    accumulators with the oracle's expression tree (streaming/
+    features.py), so the doubles are bit-identical across batch,
+    streaming and DuckDB."""
+    from nuclei_feature_extraction_spark.streaming.features import (
+        streaming_prefix_features,
+    )
+
+    tr = _events_as_role_transcripts(spark, sf_dir)
+    keyed = _replay_stream(spark, tr, streaming_prefix_features, "sprefix")
+    cooc_sel = {
+        "cooc_contrast_d1_k4": "cooc_contrast",
+        "cooc_dissimilarity_d1_k4": "cooc_dissimilarity",
+        "cooc_sum_average_d1_k4": "cooc_sum_average",
+        "cooc_correlation_d1_k4": "cooc_correlation",
+        "cooc_sum_of_squares_d1_k4": "cooc_sum_of_squares",
+    }
+    xc_sel = [
+        "contrast", "dissimilarity", "mean_a", "mean_b", "correlation", "asm",
+    ]
+    return keyed.select(
+        "event_id",
+        *[
+            (F.round(_nan_to_null(src), 6) + F.lit(0.0)).alias(dst)
+            for src, dst in cooc_sel.items()
+        ],
+        *[
+            (F.round(_nan_to_null(f"xcooc_{st}_d1"), 6) + F.lit(0.0)).alias(
+                f"xcooc_{st}"
+            )
+            for st in xc_sel
+        ],
+        F.col("runlen_n_runs_tlen4").cast("long").alias("rl_n_runs"),
+        *[
+            (F.round(_nan_to_null(src), 6) + F.lit(0.0)).alias(dst)
+            for src, dst in _RL_GATE_SEL.items()
+        ],
+    )
+
+
+def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING window stack (sessionize + lags + rolling mean/std/
+    min/max + masked assistant stats; the last-64-rows-tail state in
+    streaming/windows.py) through the driver gate across a micro-batch
+    split. Exposed columns are the ones with exact integer accumulators
+    (tlen is integer-valued): rolling sums/counts/extrema are
+    order-independent in float64, and the mean/std expression trees are
+    replicated verbatim in the oracle SQL. The trig-weighted features
+    (circmean, gabor) stay pytest-allclose-pinned — float accumulation
+    order differs across engines."""
+    from nuclei_feature_extraction_spark.streaming.windows import (
+        streaming_window_features,
+    )
+
+    tr = _events_as_role_transcripts(spark, sf_dir).drop("tool")
+    keyed = _replay_stream(spark, tr, streaming_window_features, "swin")
+    float_cols = [
+        "tlen_lag1", "tlen_lag2", "tlen_lag3",
+        "tlen_r20_mean", "tlen_r20_std", "tlen_r20_min", "tlen_r20_max",
+        "tlen_asst_r20_mean", "tlen_asst_r20_std",
+    ]
+    return keyed.select(
+        "event_id",
+        F.col("session_id").cast("int").alias("session_id"),
+        "role_lag1", "role_lag2", "role_lag3",
+        *[
+            (F.round(_nan_to_null(c), 6) + F.lit(0.0)).alias(c)
+            for c in float_cols
+        ],
+    )
+
+
 # ------------------------- dedup/similarity: exact-verified emissions
 #
 # Each query emits a deterministic, engine-independent VERIFIED set
@@ -928,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_prefix": q_streaming_prefix,
+        "streaming_windows": q_streaming_windows,
         "lag_gap": q_lag_gap,
         "rolling": q_rolling,
         "rolling_range": q_rolling_range,
@@ -1003,7 +1166,7 @@ _SWRATIO = f"round({_SWHITS} / greatest(len({_LTOKS}), 1)::DOUBLE, 6)"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "sessionize": f"""
             SELECT event_id, user_id,
                    CAST(SUM(CASE WHEN gap_s > 1800.0 THEN 1 ELSE 0 END)
@@ -1509,3 +1672,69 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.v, b.v) >= 0.44
         """,
     }
+    # streaming replays are hash-checked against the SAME oracles as
+    # their batch twins — batch == streaming == DuckDB with one truth
+    d["streaming_prefix"] = f"""
+        SELECT c.*, x.* EXCLUDE (event_id), r.* EXCLUDE (event_id)
+        FROM ({d["prefix_cooc"]}) c
+        JOIN ({d["prefix_xcooc"]}) x ON x.event_id = c.event_id
+        JOIN ({d["prefix_runlen"]}) r ON r.event_id = c.event_id
+    """
+    d["streaming_windows"] = """
+        WITH tr AS (
+          SELECT event_id, user_id, ts,
+                 epoch_us(ts) AS us,
+                 greatest(floor(value * 10.0), 0) AS tlen,
+                 CASE event_type WHEN 'click' THEN 'user'
+                      WHEN 'error' THEN 'assistant'
+                      WHEN 'purchase' THEN 'tool'
+                      WHEN 'signup' THEN 'system'
+                      ELSE 'other' END AS role
+          FROM events
+        ), l AS (
+          SELECT *,
+                 lag(us) OVER w AS prev_us,
+                 lag(tlen, 1) OVER w AS tlen_lag1,
+                 lag(tlen, 2) OVER w AS tlen_lag2,
+                 lag(tlen, 3) OVER w AS tlen_lag3,
+                 lag(role, 1) OVER w AS role_lag1,
+                 lag(role, 2) OVER w AS role_lag2,
+                 lag(role, 3) OVER w AS role_lag3,
+                 SUM(tlen) OVER w20 AS s1,
+                 SUM(tlen * tlen) OVER w20 AS s2,
+                 COUNT(*) OVER w20 AS cnt,
+                 MIN(tlen) OVER w20 AS tmin,
+                 MAX(tlen) OVER w20 AS tmax,
+                 SUM(CASE WHEN role = 'assistant' THEN tlen ELSE 0.0 END) OVER w20 AS m1,
+                 SUM(CASE WHEN role = 'assistant' THEN tlen * tlen ELSE 0.0 END) OVER w20 AS m2,
+                 SUM(CASE WHEN role = 'assistant' THEN 1.0 ELSE 0.0 END) OVER w20 AS mc
+          FROM tr
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id,
+          CAST(SUM(CASE WHEN prev_us IS NOT NULL AND us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS INTEGER) AS session_id,
+          role_lag1, role_lag2, role_lag3,
+          round(tlen_lag1, 6) + 0.0 AS tlen_lag1,
+          round(tlen_lag2, 6) + 0.0 AS tlen_lag2,
+          round(tlen_lag3, 6) + 0.0 AS tlen_lag3,
+          round(s1 / cnt, 6) + 0.0 AS tlen_r20_mean,
+          round(sqrt(greatest(
+            CASE WHEN (s2 / cnt - (s1 / cnt) * (s1 / cnt)) < 1e-11 * abs(s2 / cnt)
+                 THEN 0.0 ELSE s2 / cnt - (s1 / cnt) * (s1 / cnt) END,
+            0.0)), 6) + 0.0 AS tlen_r20_std,
+          round(tmin, 6) + 0.0 AS tlen_r20_min,
+          round(tmax, 6) + 0.0 AS tlen_r20_max,
+          round(CASE WHEN mc > 0 THEN m1 / mc END, 6) + 0.0 AS tlen_asst_r20_mean,
+          round(CASE WHEN mc > 0 THEN sqrt(greatest(
+            CASE WHEN (m2 / mc - (m1 / mc) * (m1 / mc)) < 1e-11 * abs(m2 / mc)
+                 THEN 0.0 ELSE m2 / mc - (m1 / mc) * (m1 / mc) END,
+            0.0)) END, 6) + 0.0 AS tlen_asst_r20_std
+        FROM l
+    """
+    return d

@@ -115,9 +115,16 @@ def _window_features_pdf(
     sec = us / 1e6
 
     out: dict[str, np.ndarray] = {}
-    # sessionize: strictly greater than the cutoff splits
-    prev_sec = _seg_shift_f(sec, pos, 1)
-    new_sess = (~np.isnan(prev_sec)) & ((sec - prev_sec) > gap_minutes * 60.0)
+    # sessionize: strictly greater than the cutoff splits. Compared in
+    # INTEGER microseconds (µs values < 2^53 are exact in float64), the
+    # same tree as the batch sessionize operator and the streaming
+    # stateful sessionizer — the previous divide-by-1e6-then-subtract
+    # form could drift ~1e-7 s and flip a row sitting exactly on the
+    # 30-min boundary.
+    prev_us = _seg_shift_f(us.astype(np.float64), pos, 1)
+    new_sess = (~np.isnan(prev_us)) & (
+        (us - prev_us) > gap_minutes * 60.0 * 1e6
+    )
     out["session_id"] = _seg_cumsum(new_sess.astype(np.float64), first).astype(
         np.int32
     )

@@ -120,33 +120,45 @@ def _cooc_stats_vec(C: np.ndarray) -> np.ndarray:
     """(n, K, K) count snapshots → (n, 14) Haralick stats, fully
     vectorized over the rows of a micro-batch group (the per-row
     tiny-matrix numpy formulation cost ~50 numpy dispatches per row —
-    ~20× this)."""
+    ~20× this).
+
+    The exact-accumulator stats (contrast/dissimilarity/sum_average/
+    sum_of_squares/correlation) are computed as INTEGER-sum-then-divide
+    with the same expression tree as the batch kernel and the DuckDB
+    oracle — integer sums are order-independent in float64, so the final
+    doubles are bit-identical across batch, streaming and oracle (the
+    driver's value-hash is over string reprs, not allclose)."""
     n = len(C)
     s = C.sum(axis=(1, 2))
     ok = s > 0
     safe = np.where(ok, s, 1.0)
     p = C / safe[:, None, None]
     with np.errstate(divide="ignore", invalid="ignore"):
-        px = p.sum(axis=2)
-        mu = px @ _IV
-        var = px @ (_IV**2) - mu * mu
-        eij = np.einsum("nij,ij->n", p, _IG * _JG)
+        # ---- exact-integer accumulators, sum-then-divide -------------
+        con_c = np.einsum("nij,ij->n", C, (_IG - _JG) ** 2)
+        dis_c = np.einsum("nij,ij->n", C, np.abs(_IG - _JG))
+        mu_c = np.einsum("nij,ij->n", C, _IG)      # Σ rows (i+j) by symmetry
+        m2_c = np.einsum("nij,ij->n", C, _IG * _IG)
+        eij_c = np.einsum("nij,ij->n", C, _IG * _JG)
+        contrast = con_c / safe
+        dissim = dis_c / safe
+        mu = mu_c / safe
+        var = m2_c / safe - mu * mu
+        eij = eij_c / safe
         corr = np.where(var > 1e-9, (eij - mu * mu) / var, np.nan)
-        contrast = np.einsum("nij,ij->n", p, (_IG - _JG) ** 2)
-        dissim = np.einsum("nij,ij->n", p, np.abs(_IG - _JG))
+        sa = 2.0 * mu_c / safe
+        # ---- float-accumulated stats (pytest-allclose verified) ------
+        px = p.sum(axis=2)
         entropy = -_xlogx(p).sum(axis=(1, 2))
         asm = (p**2).sum(axis=(1, 2))
         p16 = p.reshape(n, K * K)
         psum = p16 @ _M_SUM.T
         kk = np.arange(2 * K - 1, dtype=np.float64)
-        sa = psum @ kk
         sv = ((kk[None, :] - sa[:, None]) ** 2 * psum).sum(axis=1)
         se = -_xlogx(psum).sum(axis=1)
         idm = np.einsum("nij,ij->n", p, 1.0 / (1.0 + (_IG - _JG) ** 2))
-        pdiff = p16 @ _M_DIFF.T
-        ll = np.arange(K, dtype=np.float64)
-        da = pdiff @ ll
-        dv = ((ll[None, :] - da[:, None]) ** 2 * pdiff).sum(axis=1)
+        da = dissim
+        dv = contrast - da * da
         hx = -_xlogx(px).sum(axis=1)
         imc1 = np.where(hx > 1e-9, (entropy - 2 * hx) / hx, np.nan)
         imc2 = np.sqrt(np.clip(1.0 - np.exp(-2.0 * (2 * hx - entropy)), 0.0, None))
@@ -160,29 +172,42 @@ def _cooc_stats_vec(C: np.ndarray) -> np.ndarray:
 
 def _xcooc_stats_vec(C: np.ndarray) -> np.ndarray:
     """(n, KA, K) asymmetric cross-count snapshots → (n, 10) stats
-    (same formulas/guards as kernels.xcooc_prefix)."""
+    (same formulas/guards as kernels.xcooc_prefix).
+
+    Exact-accumulator stats (contrast/dissimilarity/means/correlation/
+    asm) use integer-sum-then-divide with the oracle's expression tree —
+    see _cooc_stats_vec — so their doubles are bit-identical across
+    engines; the entropies stay float-accumulated (pytest-allclose)."""
     s = C.sum(axis=(1, 2))
     ok = s > 0
     safe = np.where(ok, s, 1.0)
     p = C / safe[:, None, None]
+    _GA = np.broadcast_to(_XAI, (KA, K))
+    _GB = np.broadcast_to(_XBJ, (KA, K))
     with np.errstate(divide="ignore", invalid="ignore"):
-        pa = p.sum(axis=2)
-        pb = p.sum(axis=1)
-        ia = np.arange(KA, dtype=np.float64)
-        jb = np.arange(K, dtype=np.float64)
-        mean_a = pa @ ia
-        mean_b = pb @ jb
-        var_a = pa @ (ia**2) - mean_a**2
-        var_b = pb @ (jb**2) - mean_b**2
-        cov = np.einsum("nij,ij->n", p, _XAI * _XBJ) - mean_a * mean_b
+        con_c = np.einsum("nij,ij->n", C, (_GA - _GB) ** 2)
+        dis_c = np.einsum("nij,ij->n", C, np.abs(_GA - _GB))
+        ai_c = np.einsum("nij,ij->n", C, _GA)
+        bj_c = np.einsum("nij,ij->n", C, _GB)
+        i2_c = np.einsum("nij,ij->n", C, _GA * _GA)
+        j2_c = np.einsum("nij,ij->n", C, _GB * _GB)
+        ij_c = np.einsum("nij,ij->n", C, _GA * _GB)
+        c2_c = (C * C).sum(axis=(1, 2))
+        contrast = con_c / safe
+        dissim = dis_c / safe
+        mean_a = ai_c / safe
+        mean_b = bj_c / safe
+        var_a = i2_c / safe - mean_a * mean_a
+        var_b = j2_c / safe - mean_b * mean_b
+        cov = ij_c / safe - mean_a * mean_b
         denom = var_a * var_b
         corr = np.where(
             denom > 1e-9, cov / np.sqrt(np.where(denom > 0, denom, 1.0)),
             np.nan,
         )
-        contrast = np.einsum("nij,ij->n", p, (_XAI - _XBJ) ** 2)
-        dissim = np.einsum("nij,ij->n", p, np.abs(_XAI - _XBJ))
-        asm = (p**2).sum(axis=(1, 2))
+        asm = c2_c / (safe * safe)
+        pa = p.sum(axis=2)
+        pb = p.sum(axis=1)
         entropy = -_xlogx(p).sum(axis=(1, 2))
         hx = -_xlogx(pa).sum(axis=1)
         hy = -_xlogx(pb).sum(axis=1)
