@@ -91,7 +91,38 @@ STATE_SCHEMA = (
         f"rlh_cnt_{sig} array<long>"
         for sig, _ in RUNLEN_SIGS
     )
+    # out-of-order guard: per-conversation event-time high-water mark
+    # ((ts µs, turn_idx) of the last accepted row) + dropped-row count
+    + ", last_us long, last_turn int, n_late long"
 )
+
+
+def _split_late(
+    rows: pd.DataFrame, us: np.ndarray, last_us, last_turn,
+    policy: str, conv: str,
+):
+    """Enforce per-conversation event-time monotonicity across
+    micro-batches: rows at or before the state's (ts, turn_idx)
+    high-water mark are LATE (a replayed duplicate or out-of-order
+    delivery). ``policy='error'`` fails the query loudly — silently
+    wrong prefixes are worse than a dead stream; ``policy='drop'``
+    skips them (count carried in state; an ``observe`` on input vs
+    output rows surfaces the deficit as a lineage metric)."""
+    turn = rows["turn_idx"].to_numpy()
+    late = (us < last_us) | ((us == last_us) & (turn <= last_turn))
+    if not late.any():
+        return rows, us, 0
+    if policy == "error":
+        i = int(np.argmax(late))
+        raise ValueError(
+            f"out-of-order input for conv_id={conv!r}: row "
+            f"(ts_us={int(us[i])}, turn_idx={int(turn[i])}) arrived after "
+            f"high-water mark (ts_us={int(last_us)}, turn_idx="
+            f"{int(last_turn)}); replay micro-batches in event-time order "
+            "or pass late_policy='drop'"
+        )
+    keep = ~late
+    return rows.loc[keep], us[keep], int(late.sum())
 
 _XAI = np.arange(KA, dtype=np.float64)[:, None]  # role axis (rows)
 _XBJ = np.arange(K, dtype=np.float64)[None, :]   # level axis (cols)
@@ -332,25 +363,27 @@ def _runlen_advance(st: list, hist: dict, v: int, g: int) -> None:
 
 
 def _update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
+    late_policy: str = "error",
 ) -> Iterator[pd.DataFrame]:
     rows = pd.concat(list(pdfs), ignore_index=True)
     if not len(rows):
         return
     rows = rows.sort_values(["ts", "turn_idx"], kind="mergesort")
     us = rows["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-    tlen = rows["tlen"].to_numpy(dtype=np.float64)
-    levs = discretize_log(tlen, K)
-    roles = (
-        rows["role"].map(ROLE_IDX).fillna(KA - 1).to_numpy(dtype=np.int64)
-    )
-    has_tool = rows["tool"].notna().to_numpy().astype(np.int64)
 
+    n_late = 0
     if state.exists:
         got = state.get
         (counts_l, prev_lev, n, su, sy, suu, syy, suy, path,
          umin, umax, ymin, ymax, t0_us, prev_u, prev_y,
          xcounts_l, prev_role) = got[:18]
+        base = 18 + 3 * len(RUNLEN_SIGS)
+        last_us, last_turn, n_late = got[base], got[base + 1], got[base + 2]
+        rows, us, dropped = _split_late(
+            rows, us, last_us, last_turn, late_policy, key[0]
+        )
+        n_late += dropped
         counts = list(counts_l)
         xcounts = list(xcounts_l)
         rl_states, rl_hists = [], []
@@ -358,6 +391,9 @@ def _update(
             sc, hl, hc = got[18 + 3 * si : 18 + 3 * si + 3]
             rl_states.append(list(sc))
             rl_hists.append(dict(zip(hl, hc)))
+        if not len(rows):  # whole batch was late duplicates
+            state.update(tuple(got[:base]) + (last_us, last_turn, n_late))
+            return
     else:
         counts = [0.0] * (K * K)
         xcounts = [0.0] * (KA * K)
@@ -371,6 +407,13 @@ def _update(
             [0.0] * (3 + _RL_ACC + g) for _, g in RUNLEN_SIGS
         ]
         rl_hists = [dict() for _ in RUNLEN_SIGS]
+
+    tlen = rows["tlen"].to_numpy(dtype=np.float64)
+    levs = discretize_log(tlen, K)
+    roles = (
+        rows["role"].map(ROLE_IDX).fillna(KA - 1).to_numpy(dtype=np.int64)
+    )
+    has_tool = rows["tool"].notna().to_numpy().astype(np.int64)
 
     # ---- per-row STATE updates only (plain python, no numpy in the
     # loop); stat evaluation is vectorized over the snapshots below
@@ -428,6 +471,7 @@ def _update(
             [int(v) for v in sorted(rl_hists[si])],
             [int(rl_hists[si][v]) for v in sorted(rl_hists[si])],
         )],
+        int(us[-1]), int(rows["turn_idx"].iloc[-1]), int(n_late),
     ))
 
     data = {
@@ -451,13 +495,26 @@ def _update(
     yield pd.DataFrame(data)
 
 
-def streaming_prefix_features(stream: DataFrame) -> DataFrame:
+def streaming_prefix_features(
+    stream: DataFrame, late_policy: str = "error"
+) -> DataFrame:
     """Per-turn co-occurrence (lag 1, K=4) + shape prefix features over
-    a live transcript stream, state-incremental per conversation."""
+    a live transcript stream, state-incremental per conversation.
+
+    ``late_policy``: what to do with rows that arrive at or before the
+    conversation's (ts, turn_idx) high-water mark — ``'error'`` (default)
+    fails the query loudly, ``'drop'`` skips them (deficit observable by
+    comparing input vs output row counts)."""
+    if late_policy not in ("error", "drop"):
+        raise ValueError(f"late_policy must be 'error' or 'drop', got {late_policy!r}")
+
+    def fn(key, pdfs, state):
+        return _update(key, pdfs, state, late_policy)
+
     src = stream.select(
         "conv_id", "turn_idx", "ts", "role", "tool",
         F.length("text").cast("double").alias("tlen"),
     )
     return src.groupBy("conv_id").applyInPandasWithState(
-        _update, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )

@@ -46,30 +46,47 @@ OUT_SCHEMA = (
 )
 STATE_SCHEMA = (
     "tail_us array<long>, tail_tlen array<double>, tail_role array<string>, "
-    "pos0 long, base_session long, n_seen long"
+    "pos0 long, base_session long, n_seen long, "
+    # out-of-order guard: (ts µs, turn_idx) high-water mark + drop count
+    "last_turn int, n_late long"
 )
 
 
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
-    gap_minutes: float,
+    gap_minutes: float, late_policy: str,
 ) -> Iterator[pd.DataFrame]:
+    from nuclei_feature_extraction_spark.streaming.features import _split_late
+
     rows = pd.concat(list(pdfs), ignore_index=True)
     if not len(rows):
         return
     rows = rows.sort_values(["ts", "turn_idx"], kind="mergesort")
     us_new = rows["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-    tlen_new = rows["tlen"].to_numpy(dtype=np.float64)
-    role_new = rows["role"].to_numpy()
 
+    n_late = 0
     if state.exists:
-        tail_us, tail_tlen, tail_role, pos0, base_session, n_seen = state.get
+        (tail_us, tail_tlen, tail_role, pos0, base_session, n_seen,
+         last_turn, n_late) = state.get
         tail_us = list(tail_us)
         tail_tlen = list(tail_tlen)
         tail_role = list(tail_role)
+        rows, us_new, dropped = _split_late(
+            rows, us_new, tail_us[-1], last_turn, late_policy, key[0]
+        )
+        n_late += dropped
+        if not len(rows):  # whole batch was late duplicates
+            state.update((
+                tail_us, tail_tlen, tail_role, pos0, base_session, n_seen,
+                last_turn, n_late,
+            ))
+            return
     else:
         tail_us, tail_tlen, tail_role = [], [], []
         pos0, base_session, n_seen = 0, 0, 0
+
+    tlen_new = rows["tlen"].to_numpy(dtype=np.float64)
+    role_new = rows["role"].to_numpy()
 
     t = len(tail_us)
     m = len(rows)
@@ -116,18 +133,27 @@ def _update(
         int(pos0 + cut),
         int(sess[cut]),  # absolute session id of the new tail's first row
         int(n_seen + m),
+        int(rows["turn_idx"].iloc[-1]),
+        int(n_late),
     ))
     yield pd.DataFrame(data)
 
 
 def streaming_window_features(
-    stream: DataFrame, gap_minutes: float = 30.0
+    stream: DataFrame, gap_minutes: float = 30.0,
+    late_policy: str = "error",
 ) -> DataFrame:
     """Per-turn window-family features (45 columns) over a live
-    transcript stream, state = the last 64 raw rows per conversation."""
+    transcript stream, state = the last 64 raw rows per conversation.
+
+    ``late_policy``: ``'error'`` (default) fails the query on a row at
+    or before the conversation's (ts, turn_idx) high-water mark;
+    ``'drop'`` skips such rows (count carried in state)."""
+    if late_policy not in ("error", "drop"):
+        raise ValueError(f"late_policy must be 'error' or 'drop', got {late_policy!r}")
 
     def fn(key, pdfs, state):
-        return _update(key, pdfs, state, gap_minutes)
+        return _update(key, pdfs, state, gap_minutes, late_policy)
 
     src = stream.select(
         "conv_id", "turn_idx", "ts", "role",

@@ -506,3 +506,199 @@ def test_streaming_broadcast_asof_matches_batch(spark, tmp_path):
         == want["model"].fillna("∅").to_numpy()
     ).all()
     assert got["model"].tolist() == [None, "m1", "m1", "m1", "m2", "m2", "m2", "m3"]
+
+def _ooo_split(tiny_pdf, src):
+    """Write an out-of-order 2-file replay: file p0 carries the LATER
+    half of every conversation, file p1 the earlier half — so every p1
+    row is behind the conversation high-water mark when it arrives."""
+    pdf = tiny_pdf.sort_values(["conv_id", "ts", "turn_idx"])
+    cc = pdf.groupby("conv_id").cumcount()
+    size = pdf.groupby("conv_id")["turn_idx"].transform("size")
+    late_half = cc < size // 2
+    pdf[~late_half].to_parquet(src / "p0.parquet", index=False)
+    pdf[late_half].to_parquet(src / "p1.parquet", index=False)
+    return pdf[~late_half].reset_index(drop=True)
+
+
+def test_streaming_prefix_out_of_order_errors(spark, tiny_pdf, tmp_path):
+    """Default late_policy='error': a row arriving at or before the
+    conversation's (ts, turn_idx) high-water mark must KILL the query
+    with a diagnosable message, never silently produce prefixes that
+    diverge from batch (VERDICT r4 missing #1)."""
+    import pytest as _pytest
+
+    from nuclei_feature_extraction_spark.streaming.features import (
+        streaming_prefix_features,
+    )
+
+    src = tmp_path / "ooosrc"
+    src.mkdir()
+    _ooo_split(tiny_pdf, src)
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_prefix_features(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("oooerr")
+        .option("checkpointLocation", str(tmp_path / "ooock"))
+        .start()
+    )
+    try:
+        with _pytest.raises(Exception) as ei:
+            q.processAllAvailable()
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    assert "out-of-order" in str(ei.value)
+
+    with _pytest.raises(ValueError):
+        streaming_prefix_features(stream, late_policy="nonsense")
+
+
+def test_streaming_prefix_out_of_order_drop_matches_batch(
+    spark, tiny_pdf, tmp_path
+):
+    """late_policy='drop': late rows are skipped (no output row), and the
+    surviving stream equals the batch prefix kernels run on exactly the
+    accepted rows — dropped-not-corrupted, pinned column for column."""
+    from nuclei_feature_extraction_spark.functions.kernels import (
+        prefix_features,
+    )
+    from nuclei_feature_extraction_spark.streaming.features import (
+        COOC_OUT,
+        SHAPE_OUT,
+        streaming_prefix_features,
+    )
+
+    src = tmp_path / "ooodropsrc"
+    src.mkdir()
+    accepted = _ooo_split(tiny_pdf, src)
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_prefix_features(stream, late_policy="drop")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ooodrop")
+        .option("checkpointLocation", str(tmp_path / "ooodck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.sql("SELECT * FROM ooodrop").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    cols = [f"cooc_{s}_d1_k4" for s in COOC_OUT] + [
+        f"shape_{s}" for s in SHAPE_OUT
+    ]
+    want = (
+        prefix_features(
+            spark.createDataFrame(accepted),
+            families=("cooc", "shape"), lags=(1,), levels=(4,),
+        )
+        .select("conv_id", "turn_idx", *cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    # every late row dropped, every accepted row present exactly once
+    assert len(got) == len(want) == len(accepted) < len(tiny_pdf)
+    for c in cols:
+        tol = dict(rtol=1e-6, atol=3e-5) if c.startswith("shape") else dict(
+            rtol=1e-9, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[c].to_numpy(), equal_nan=True,
+            err_msg=c, **tol,
+        )
+
+
+def test_streaming_windows_out_of_order(spark, tiny_pdf, tmp_path):
+    """Window stack: 'error' kills the query on a late row; 'drop' skips
+    late rows and matches the batch window features on the accepted rows
+    (the carried 64-row tail is never polluted by late arrivals)."""
+    import pytest as _pytest
+
+    from nuclei_feature_extraction_spark.plans.fused import (
+        _window_features_pdf,
+    )
+    from nuclei_feature_extraction_spark.streaming.windows import (
+        _FLOAT_COLS,
+        streaming_window_features,
+    )
+
+    src = tmp_path / "ooowsrc"
+    src.mkdir()
+    accepted = _ooo_split(tiny_pdf, src)
+    schema = spark.read.parquet(str(src)).schema
+
+    def mkstream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    q = (
+        streaming_window_features(mkstream())
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("oowerr")
+        .option("checkpointLocation", str(tmp_path / "oowec"))
+        .start()
+    )
+    try:
+        with _pytest.raises(Exception) as ei:
+            q.processAllAvailable()
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    assert "out-of-order" in str(ei.value)
+
+    q = (
+        streaming_window_features(mkstream(), late_policy="drop")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("oowdrop")
+        .option("checkpointLocation", str(tmp_path / "oowdc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.sql("SELECT * FROM oowdrop").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    bpdf = accepted.copy()
+    bpdf["tlen"] = bpdf["text"].str.len().astype(float)
+    want = _window_features_pdf(bpdf.reset_index(drop=True))
+    want["conv_id"] = bpdf["conv_id"].to_numpy()
+    want["turn_idx"] = bpdf["turn_idx"].to_numpy()
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(want) == len(accepted) < len(tiny_pdf)
+    assert (got["session_id"].to_numpy()
+            == want["session_id"].to_numpy()).all()
+    for c in _FLOAT_COLS:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[c].to_numpy(),
+            rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c,
+        )
