@@ -76,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
             "--feature-sets or use --plan composable for subsets"
         )
 
+    from nuclei_feature_extraction_spark import lineage as lineage_mod
     from nuclei_feature_extraction_spark.lineage import run_with_metrics
     from nuclei_feature_extraction_spark.plans.pipeline import build_features
     from nuclei_feature_extraction_spark.session import get_spark
@@ -162,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
             },
             "data_dir": os.path.join(args.checkpoint_dir, "data"),
             "manifest_version": manifest["version"],
+            "kernel_backend": lineage_mod.kernel_backend(),
         }
         if asof_routing is not None:
             summary["asof_routing"] = asof_routing

@@ -74,6 +74,20 @@ def asof_match_stats(
     )
 
 
+def kernel_backend() -> str:
+    """Which grouped-scan backend the kernel hot path bound at import:
+    ``'cython'`` when the direct ``pandas._libs.groupby`` bindings passed
+    their semantics probe (``kernels._probe_cython_groupby``), ``'public'``
+    when the ~1.5× slower public-API fallback is active. Surfaced in every
+    run manifest so a silent fallback flip (e.g. a pandas upgrade renaming
+    the private kernels) is VISIBLE in ops, not just slower."""
+    from nuclei_feature_extraction_spark.functions.kernels import (
+        _GROUP_CUMSUM,
+    )
+
+    return "cython" if _GROUP_CUMSUM is not None else "public"
+
+
 @dataclass
 class RunMetrics:
     rows: int
@@ -86,6 +100,9 @@ class RunMetrics:
     # dedup operators' ``audit={}`` hook) — capped drops must surface
     # in the run manifest, never only in an opt-in side query
     audits: dict | None = None
+    # grouped-scan backend bound by the kernel hot path (driver probe;
+    # executors share the container image, so it is representative)
+    kernel_backend: str = ""
 
     def write(self, out_dir: str, name: str = "metrics.json") -> str:
         os.makedirs(out_dir, exist_ok=True)
@@ -120,4 +137,5 @@ def run_with_metrics(
         min_ts=str(got["min_ts"]),
         max_ts=str(got["max_ts"]),
         audits=audits,
+        kernel_backend=kernel_backend(),
     )

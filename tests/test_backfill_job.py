@@ -90,6 +90,11 @@ def test_backfill_cli_checkpointed_rows_from_manifest(spark, tmp_path, tiny_pdf)
     m = _json.load(open(mpath))
     assert m["rows"] == len(tiny_pdf)
     assert spark.read.parquet(m["data_dir"]).count() == len(tiny_pdf)
+    # the grouped-scan backend probe must be SURFACED in the manifest —
+    # and in this container the direct cython bindings must be active
+    # (a pandas upgrade flipping this to 'public' should fail HERE, not
+    # silently run 1.5× slower)
+    assert m["kernel_backend"] == "cython"
 
 
 def test_backfill_asof_routing_in_manifest(spark, tmp_path, tiny_pdf):
