@@ -52,6 +52,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--embedding-threshold", type=float, default=0.95)
     p.add_argument("--embedding-id-col", default=None,
                    help="id column in the embeddings table (default: --id-col)")
+    p.add_argument("--embedding-vec-col", default=None,
+                   help="vector column in the embeddings table (default: "
+                   "'embedding' when present, else the single non-id "
+                   "column; anything ambiguous fails loudly)")
     p.add_argument("--benchmark", default=None,
                    help="benchmark/eval parquet to decontaminate against")
     p.add_argument("--contamination-threshold", type=float, default=0.5)
@@ -102,22 +106,41 @@ def main(argv: list[str] | None = None) -> int:
     stages: list[dict] = []
     rows_in = df.count()
 
+    stage_t0 = [time.perf_counter()]
+
     def record(stage: str, rows_before: int, rows_after: int, **extra):
+        now = time.perf_counter()
         stages.append(
             {"stage": stage, "rows_in": rows_before, "rows_out": rows_after,
-             "dropped": rows_before - rows_after, **extra}
+             "dropped": rows_before - rows_after,
+             "wall_seconds": round(now - stage_t0[0], 3), **extra}
         )
+        stage_t0[0] = now
+
+    # each stage boundary persists its survivor frame before counting and
+    # releases the predecessor: the per-stage .count() then executes only
+    # THAT stage's work, and the final write re-reads the last persisted
+    # frame instead of re-running the whole chain (exact dedup → LSH →
+    # CC → …) once per downstream action — O(stages), not O(stages²)
+    persisted: list = []
+
+    def checkpointed(nxt):
+        nxt = nxt.persist()
+        m = nxt.count()
+        while persisted:
+            persisted.pop().unpersist()
+        persisted.append(nxt)
+        return nxt, m
 
     cur = df
     n = rows_in
 
     if not args.skip_exact_dedup:
-        cur = (
+        cur, m = checkpointed(
             exact_dedup(cur, idc, txc)
             .filter("is_canonical")
             .drop("dup_group_size", "is_canonical")
         )
-        m = cur.count()
         record("exact_dedup", n, m)
         n = m
 
@@ -128,10 +151,9 @@ def main(argv: list[str] | None = None) -> int:
             cur, cand.select("id_a", "id_b"), idc, txc
         ).filter(F.col("jaccard") >= args.fuzzy_threshold)
         groups = dup_groups(cur, pairs, idc)
-        cur = (
+        cur, m = checkpointed(
             cur.join(groups.filter("is_canonical").select(idc), idc, "inner")
         )
-        m = cur.count()
         record("fuzzy_dedup", n, m, lsh_audit=audit,
                threshold=args.fuzzy_threshold)
         n = m
@@ -141,7 +163,32 @@ def main(argv: list[str] | None = None) -> int:
         eid = args.embedding_id_col or idc
         # only surviving docs' vectors participate
         emb = emb.join(cur.select(F.col(idc).alias(eid)), eid, "inner")
-        vec_col = [c for c in emb.columns if c != eid][0]
+        if args.embedding_vec_col:
+            vec_col = args.embedding_vec_col
+            if vec_col not in emb.columns:
+                raise SystemExit(
+                    f"--embedding-vec-col {vec_col!r} not in embeddings "
+                    f"table columns {emb.columns}"
+                )
+        elif "embedding" in emb.columns:
+            vec_col = "embedding"
+        else:
+            non_id = [c for c in emb.columns if c != eid]
+            if len(non_id) != 1:
+                raise SystemExit(
+                    "ambiguous embeddings table (no 'embedding' column, "
+                    f"{len(non_id)} non-id columns {non_id}): pass "
+                    "--embedding-vec-col"
+                )
+            vec_col = non_id[0]
+        from pyspark.sql.types import ArrayType
+
+        if not isinstance(emb.schema[vec_col].dataType, ArrayType):
+            raise SystemExit(
+                f"embeddings vector column {vec_col!r} has type "
+                f"{emb.schema[vec_col].dataType.simpleString()}, expected "
+                "array<float>/array<double> — pass --embedding-vec-col"
+            )
         first_vec = emb.select(vec_col).first()
         if first_vec is None:
             # nothing to compare (empty corpus or disjoint ids) — record
@@ -155,12 +202,12 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=eid, vec_col=vec_col, audit=audit_e,
             ).select(F.col("id_a"), F.col("id_b"))
             groups_e = dup_groups(cur.select(F.col(idc)), pairs_e, idc)
-            cur = cur.join(
+            cur, m = checkpointed(cur.join(
                 groups_e.filter("is_canonical").select(idc), idc, "inner"
-            )
-            m = cur.count()
+            ))
             record("embedding_near_dup", n, m,
-                   threshold=args.embedding_threshold, lsh_audit=audit_e)
+                   threshold=args.embedding_threshold, lsh_audit=audit_e,
+                   vec_col=vec_col)
             n = m
 
     if args.benchmark:
@@ -168,32 +215,29 @@ def main(argv: list[str] | None = None) -> int:
         cont = ngram_contamination(
             cur, bench, idc, txc, threshold=args.contamination_threshold
         )
-        cur = cur.join(
+        cur, m = checkpointed(cur.join(
             cont.filter("NOT is_contaminated").select(idc), idc, "inner"
-        )
-        m = cur.count()
+        ))
         record("decontamination", n, m,
                threshold=args.contamination_threshold)
         n = m
 
     if args.min_quality is not None:
         scored = with_quality_score(cur, txc)
-        cur = cur.join(
+        cur, m = checkpointed(cur.join(
             scored.filter(F.col("quality_score") >= args.min_quality)
             .select(idc),
             idc, "inner",
-        )
-        m = cur.count()
+        ))
         record("quality_filter", n, m, min_quality=args.min_quality)
         n = m
 
     if args.langs:
         lang = with_lang_id(cur, txc)
-        cur = cur.join(
+        cur, m = checkpointed(cur.join(
             lang.filter(F.col("lang_pred").isin(args.langs)).select(idc),
             idc, "inner",
-        )
-        m = cur.count()
+        ))
         record("lang_filter", n, m, langs=args.langs)
         n = m
 
@@ -212,7 +256,10 @@ def main(argv: list[str] | None = None) -> int:
 
     mode = "overwrite" if args.overwrite else "errorifexists"
     cur.write.mode(mode).parquet(args.output)
+    while persisted:
+        persisted.pop().unpersist()
     written = spark.read.parquet(args.output).count()
+    record("sink", n, written)
 
     manifest = {
         "rows_in": rows_in,

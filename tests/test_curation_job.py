@@ -77,8 +77,9 @@ def test_curation_end_to_end(spark, curation_docs, tmp_path):
     names = [s["stage"] for s in m["stages"]]
     assert names == [
         "exact_dedup", "fuzzy_dedup", "decontamination", "quality_filter",
-        "lang_filter", "split_assign", "packing",
+        "lang_filter", "split_assign", "packing", "sink",
     ]
+    assert all("wall_seconds" in s for s in m["stages"])
     for prev, nxt in zip(m["stages"], m["stages"][1:]):
         assert nxt["rows_in"] == prev["rows_out"]
     assert m["stages"][0]["rows_in"] == m["rows_in"] == 53
@@ -142,3 +143,43 @@ def test_curation_embedding_near_dup_stage(spark, curation_docs, tmp_path):
     assert "embedding_near_dup" in st
     assert st["embedding_near_dup"]["dropped"] >= 1
     assert "lsh_audit" in st["embedding_near_dup"]
+
+def test_curation_embedding_vec_col_resolution(spark, curation_docs, tmp_path):
+    """ADVICE r4: an embeddings table with extra metadata columns must not
+    silently feed the wrong column into near-dup detection — ambiguous
+    layouts fail loudly, --embedding-vec-col selects explicitly, and a
+    non-array selection is rejected."""
+    import pytest
+
+    rng = np.random.default_rng(29)
+    pdf = curation_docs["pdf"]
+    ids = pdf["doc_id"].tolist()
+    emb = pd.DataFrame(
+        {
+            "doc_id": ids,
+            # metadata column FIRST — the old first-non-id-column
+            # inference would have picked this one
+            "source": ["web"] * len(ids),
+            "vec": [list(map(float, rng.standard_normal(8))) for _ in ids],
+        }
+    )
+    epath = str(tmp_path / "emb_meta.parquet")
+    spark.createDataFrame(emb).write.parquet(epath)
+    out = str(tmp_path / "curated_vc")
+
+    base = ["--documents", curation_docs["docs"], "--output", out,
+            "--skip-fuzzy-dedup", "--embeddings", epath]
+    # ambiguous (two non-id columns, none named 'embedding') → loud fail
+    with pytest.raises(SystemExit, match="ambiguous"):
+        job.main(base)
+    # explicit non-array column → loud fail
+    with pytest.raises(SystemExit, match="expected"):
+        job.main(base + ["--embedding-vec-col", "source", "--overwrite"])
+    # explicit array column → runs, and the manifest records the choice
+    mpath = str(tmp_path / "m_vc.json")
+    rc = job.main(base + ["--embedding-vec-col", "vec", "--overwrite",
+                          "--manifest", mpath])
+    assert rc == 0
+    m = json.load(open(mpath))
+    st = {s["stage"]: s for s in m["stages"]}
+    assert st["embedding_near_dup"]["vec_col"] == "vec"
