@@ -393,20 +393,41 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 # --------------------------------------------------------- spark layer
 
+def _split_by_bytes(
+    pdf: pd.DataFrame, limit: int, blob_col: str = "blob"
+) -> Iterator[pd.DataFrame]:
+    """Re-chunk an Arrow batch so each yielded frame holds at most
+    ``limit`` bytes of blobs (Arrow batches are ROW-count based —
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` knows nothing about
+    payload size, so a batch of large videos can dwarf executor python
+    memory). Always yields at least one row per chunk."""
+    sizes = pdf[blob_col].map(len).to_numpy(dtype=np.int64)
+    csum = np.cumsum(sizes)
+    start = 0
+    while start < len(pdf):
+        base = csum[start - 1] if start else 0
+        end = int(np.searchsorted(csum, base + limit, side="right"))
+        end = max(end, start + 1)
+        yield pdf.iloc[start:end]
+        start = end
+
+
 def extract_media_features(
     df: DataFrame,
     dim: int = FEATURE_DIM,
-    decode_stub: bool = True,
+    decode_stub: bool = False,
     batch_limit_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Per-blob feature vectors via ``mapInPandas`` (narrow — blobs never
     shuffle; output drops the blob).
 
-    ``decode_stub=False`` runs the REAL codecs for all three kinds:
-    BMP for ``image``, WAV for ``audio``, uncompressed RIFF/AVI for
-    ``video`` (all dependency-free). With ``decode_stub=True`` every
-    kind takes the deterministic byte-histogram path (fast smoke
-    mode)."""
+    The default runs the REAL codecs for all three kinds: BMP for
+    ``image``, WAV for ``audio``, uncompressed RIFF/AVI for ``video``
+    (all dependency-free). ``decode_stub=True`` switches every kind to
+    the deterministic byte-histogram path (fast smoke mode for
+    plumbing-only tests). ``batch_limit_bytes`` bounds the bytes decoded
+    per pandas frame: incoming Arrow batches are re-chunked executor-side
+    so peak python memory tracks blob payload, not row count."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -428,14 +449,18 @@ def extract_media_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [one(k, b) for k, b in zip(pdf["kind"], pdf["blob"])]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "feat": feats,
-                }
-            )
+            for chunk in _split_by_bytes(pdf, batch_limit_bytes):
+                feats = [
+                    one(k, b)
+                    for k, b in zip(chunk["kind"], chunk["blob"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "kind": chunk["kind"],
+                        "feat": feats,
+                    }
+                )
 
     return df.mapInPandas(gen, out_schema)
 
@@ -500,6 +525,10 @@ def transform_media(
                     blob = encode_bmp(img)
                     meta["width"], meta["height"] = ow, oh
                 elif kind == "video" and video_frames is not None:
+                    # zero-frame AVIs cannot reach the len(frames)
+                    # division: decode_avi raises ValueError('AVI
+                    # contains no frames') on an empty movi list
+                    # (pinned by test_transform_media_empty_video)
                     frames, fps = decode_avi(blob)
                     idx = sample_frame_indices(len(frames), video_frames)
                     kept = frames[idx]

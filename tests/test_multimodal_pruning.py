@@ -15,25 +15,59 @@ from nuclei_feature_extraction_spark.sources.io import write_iceberg_style
 
 def test_media_feature_plumbing(spark):
     media = synthesize_media(spark, n=48)
-    feats = extract_media_features(media).toPandas()
+    feats = extract_media_features(media, decode_stub=True).toPandas()
     assert len(feats) == 48
     assert feats["feat"].map(len).eq(FEATURE_DIM).all()
     v = np.stack(feats["feat"].to_numpy())
     assert ((v >= 0) & (v <= 1)).all()
     # deterministic across runs
-    again = extract_media_features(synthesize_media(spark, n=48)).toPandas()
+    again = extract_media_features(
+        synthesize_media(spark, n=48), decode_stub=True
+    ).toPandas()
     a = np.stack(feats.sort_values("media_id")["feat"].to_numpy())
     b = np.stack(again.sort_values("media_id")["feat"].to_numpy())
     assert np.array_equal(a, b)
 
 
 def test_media_real_decode_all_kinds(spark):
-    """decode_stub=False now runs a REAL codec for every kind (BMP /
-    WAV / AVI) — no NotImplementedError anywhere."""
+    """The DEFAULT path runs a REAL codec for every kind (BMP / WAV /
+    AVI) — the stub is the opt-in smoke mode, not the default."""
     media = synthesize_media(spark, n=12)
-    got = extract_media_features(media, decode_stub=False).toPandas()
+    got = extract_media_features(media).toPandas()
     assert len(got) == 12
     assert got["feat"].map(lambda f: np.isfinite(f).all()).all()
+
+
+def test_media_batch_limit_bytes(spark):
+    """batch_limit_bytes re-chunks Arrow batches by PAYLOAD size: a
+    pathologically small limit (one blob per chunk) must produce the
+    identical result, and the splitting helper must respect the byte
+    budget with at-least-one-row progress."""
+    import pandas as pd
+
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        _split_by_bytes,
+    )
+
+    media = synthesize_media(spark, n=24)
+    want = (
+        extract_media_features(media).toPandas()
+        .sort_values("media_id").reset_index(drop=True)
+    )
+    got = (
+        extract_media_features(media, batch_limit_bytes=1).toPandas()
+        .sort_values("media_id").reset_index(drop=True)
+    )
+    assert got["media_id"].tolist() == want["media_id"].tolist()
+    for a, b in zip(got["feat"], want["feat"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    pdf = pd.DataFrame({"blob": [b"a" * 10, b"b" * 10, b"c" * 25, b"d" * 5]})
+    chunks = list(_split_by_bytes(pdf, 20))
+    assert [len(c) for c in chunks] == [2, 1, 1]
+    big = list(_split_by_bytes(pdf, 1))  # oversized rows still progress
+    assert [len(c) for c in big] == [1, 1, 1, 1]
+    assert list(_split_by_bytes(pdf, 10**9))[0].equals(pdf)
 
 
 def test_media_metadata_filter(spark):
@@ -346,3 +380,29 @@ def test_transform_media_noop_passthrough(spark):
 
     media = synthesize_media(spark, n=8)
     assert transform_media(media) is media
+
+def test_transform_media_empty_video(spark):
+    """ADVICE r4: a structurally valid AVI whose movi list has no frame
+    chunks must fail with the decoders' ValueError, never a
+    ZeroDivisionError from the fps re-timing math."""
+    import numpy as np
+
+    from nuclei_feature_extraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_avi,
+        encode_avi,
+        transform_media,
+    )
+
+    blob = encode_avi(np.zeros((1, 4, 4, 3), dtype=np.uint8), fps=5)
+    # neutralize the single frame chunk: fourcc 00db -> JUNK keeps the
+    # RIFF structure valid but leaves the movi list frameless
+    empty = blob.replace(b"00db", b"JUNK", 1)
+    with pytest.raises(ValueError, match="no frames"):
+        decode_avi(empty)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(empty), (4, 4, 0.2, "x/video"))],
+        schema=MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="no frames"):
+        transform_media(df, video_frames=1).collect()
