@@ -290,6 +290,34 @@ def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "last_error_value")
 
 
+def q_asof_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-data RE-STATEMENT through the gate: day-truncated error
+    events produce many duplicate (user_id, effective_ts) side rows;
+    the join must resolve each to the greatest tie-tuple row with an
+    atomic payload (tag and value from the same winner). Oracle =
+    dedupe-to-greatest-tag per (user, ts) then ASOF JOIN — provably the
+    same semantics."""
+    ev = _events(spark, sf_dir)
+    side = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("effective_ts"),
+        F.col("event_id").cast("string").alias("tag"),
+        F.col("value").alias("restated_value"),
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        side,
+        on="user_id",
+        left_ts="ts",
+        right_ts="effective_ts",
+        tie_cols=("tag",),
+    ).select(
+        "event_id",
+        F.col("tag").alias("restated_tag"),
+        "restated_value",
+    )
+
+
 def q_masked_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     click = F.when(F.col("event_type") == "click", F.col("value"))
@@ -1098,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_error": q_asof_error,
         "asof_cogrouped": q_asof_cogrouped,
         "asof_global": q_asof_global,
+        "asof_restatement": q_asof_restatement,
         "masked_user_stats": q_masked_user_stats,
         "circular_hour": q_circular_hour,
         "gabor_bank": q_gabor_bank,
@@ -1239,6 +1268,23 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT ts, value FROM events WHERE event_type = 'error'
                   ORDER BY ts, event_id LIMIT 10) r
             ON l.ts >= r.ts
+        """,
+        "asof_restatement": """
+            WITH side AS (
+              SELECT user_id, date_trunc('day', ts) AS effective_ts,
+                     CAST(event_id AS VARCHAR) AS tag, value
+              FROM events WHERE event_type = 'error'
+            ), dedup AS (
+              SELECT user_id, effective_ts, tag, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, effective_ts ORDER BY tag DESC
+                ) AS rn FROM side
+              ) WHERE rn = 1
+            )
+            SELECT l.event_id, r.tag AS restated_tag,
+                   r.value AS restated_value
+            FROM events l ASOF LEFT JOIN dedup r
+            ON l.user_id = r.user_id AND l.ts >= r.effective_ts
         """,
         "masked_user_stats": """
             SELECT user_id, count(*) AS n_events,
