@@ -1,0 +1,143 @@
+"""Scale evidence for jobs/run_curation.py (VERDICT r4 ask #6).
+
+Generates a deterministic ≥4M-doc corpus with planted exact dups
+(2.5%), near-dups (2.5%, one-token edits), junk (2.5%, fails the
+quality heuristics) and a benchmark table covering ~0.5% of content
+(contamination), entirely with Catalyst expressions over
+``spark.range`` — no driver-side loops, no RNG, no external data.
+Then runs the REAL curation CLI (subprocess, fresh JVM) at two
+parallelism levels and reports per-stage walls + scaling efficiency.
+
+    python tools/curation_bench.py [--docs 4200000] [--levels 8 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FIXTURE = os.path.join(REPO, ".cache", "fixtures", "curation4m")
+
+
+def generate(n_docs: int) -> None:
+    """Corpus layout per 40-doc group g = id // 40 (leader L = 40g):
+    id%40==1 → exact dup of L; ==2 → near-dup of L (one appended
+    token); ==3 → junk; the benchmark table holds the leaders of the
+    first 0.5% of groups (their surviving group members are
+    contaminated)."""
+    from nuclei_feature_extraction_spark.session import get_spark
+
+    spark = get_spark(app_name="nfx-curation-gen")
+    base = (
+        "CASE WHEN id % 40 IN (1, 2) THEN (id DIV 40) * 40 ELSE id END"
+    )
+    # 10 hashed content tokens interleaved with stopwords: stopword
+    # ratio 0.5 → quality 1.0 and lang 'en' for non-junk docs
+    toks = ", ".join(
+        f"'{sw}', substr(md5(concat(CAST({base} AS STRING), '-{j}')), 1, 12)"
+        for j, sw in enumerate(
+            ["the", "and", "of", "to", "in", "the", "and", "of", "to", "in"]
+        )
+    )
+    body = f"concat_ws(' ', {toks})"
+    # junk is UNIQUE per doc (so it survives exact dedup and is dropped
+    # by the quality heuristics: <20 chars + punct-heavy → score 0.3)
+    text = (
+        f"CASE WHEN id % 40 = 3 "
+        f"THEN concat('!?!? ', substr(md5(CAST(id AS STRING)), 1, 8)) "
+        f"WHEN id % 40 = 2 THEN concat({body}, ' extrazz') "
+        f"ELSE {body} END"
+    )
+    (
+        spark.range(n_docs)
+        .selectExpr("id AS doc_id", f"{text} AS text")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(os.path.join(FIXTURE, "docs.parquet"))
+    )
+    n_bench_groups = max(n_docs // 40 // 200, 1)  # 0.5% of groups
+    (
+        spark.range(n_bench_groups)
+        .selectExpr("id * 40 AS id")
+        .selectExpr("id AS bench_id", f"{body} AS text")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(os.path.join(FIXTURE, "benchmark.parquet"))
+    )
+    with open(os.path.join(FIXTURE, "_DONE"), "w") as fh:
+        fh.write(str(n_docs))
+    spark.stop()
+
+
+def run_level(cpus: int, out_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    mpath = os.path.join(out_dir, f"manifest_{cpus}.json")
+    t0 = time.perf_counter()
+    res = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "run_curation.py"),
+            "--documents", os.path.join(FIXTURE, "docs.parquet"),
+            "--output", os.path.join(out_dir, f"curated_{cpus}"),
+            "--benchmark", os.path.join(FIXTURE, "benchmark.parquet"),
+            "--min-quality", "0.7",
+            "--split-weights", "train=0.98", "val=0.01", "test=0.01",
+            "--pack-budget", "2048",
+            "--manifest", mpath,
+            "--overwrite",
+        ],
+        capture_output=True, text=True, timeout=7200, cwd=REPO, env=env,
+    )
+    wall = time.perf_counter() - t0
+    if res.returncode != 0:
+        raise SystemExit(
+            f"curation run at local[{cpus}] failed:\n{res.stderr[-4000:]}"
+        )
+    m = json.load(open(mpath))
+    return {
+        "cpus": cpus,
+        "subprocess_wall": round(wall, 1),
+        "job_wall": m["wall_seconds"],
+        "rows_in": m["rows_in"],
+        "rows_out": m["rows_out"],
+        "stages": {
+            s["stage"]: {"wall": s["wall_seconds"], "rows_out": s["rows_out"]}
+            for s in m["stages"]
+        },
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=4_200_000)
+    ap.add_argument("--levels", type=int, nargs="+", default=[8, 32])
+    ap.add_argument("--out", default="/tmp/curation_bench")
+    args = ap.parse_args()
+
+    done = os.path.join(FIXTURE, "_DONE")
+    if not (os.path.exists(done) and open(done).read() == str(args.docs)):
+        print(f"generating {args.docs}-doc corpus …", file=sys.stderr)
+        generate(args.docs)
+
+    os.makedirs(args.out, exist_ok=True)
+    results = [run_level(c, args.out) for c in args.levels]
+    report: dict = {"docs": args.docs, "levels": results}
+    if len(results) >= 2:
+        a, b = results[0], results[-1]
+        speedup = a["job_wall"] / b["job_wall"]
+        report["scaling"] = {
+            "from": a["cpus"], "to": b["cpus"],
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (b["cpus"] / a["cpus"]), 3),
+        }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
