@@ -537,6 +537,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(_documents(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals, pure HOF expressions."""
+    from nuclei_feature_extraction_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    return with_repetition_stats(_documents(spark, sf_dir)).select(
+        "doc_id", "dup_word_frac", "top_word_frac", "top_bigram_frac"
+    )
+
+
 # ------------------------------------------------------------ embeddings
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
+        "repetition": q_repetition,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "prefix_cooc": q_prefix_cooc,
@@ -1463,6 +1475,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN {_SWRATIO} >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
             FROM documents
+        """,
+        "repetition": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+              FROM documents
+            ), b AS (
+              SELECT doc_id, toks,
+                     list_transform(range(1, greatest(len(toks), 1)),
+                                    i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN len(toks) > 0 THEN
+                     round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                 / len(toks), 6) + 0.0
+                   END AS dup_word_frac,
+                   CASE WHEN len(toks) > 0 THEN
+                     round(CAST(list_max(list_transform(list_distinct(toks),
+                             w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+                           / len(toks), 6) + 0.0
+                   END AS top_word_frac,
+                   CASE WHEN len(bgs) > 0 THEN
+                     round(CAST(list_max(list_transform(list_distinct(bgs),
+                             w -> len(list_filter(bgs, x -> x = w)))) AS DOUBLE)
+                           / len(bgs), 6) + 0.0
+                   END AS top_bigram_frac
+            FROM b
         """,
 
         "prefix_cooc": """

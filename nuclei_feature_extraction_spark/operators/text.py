@@ -46,6 +46,70 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style REPETITION signals (Rae et al. 2021 §A1.1 analog at
+    word granularity — the fixtures carry no line breaks):
+
+    - ``dup_word_frac``  : fraction of token occurrences that repeat an
+      earlier token, ``1 − distinct/total``.
+    - ``top_word_frac``  : share of the single most frequent token.
+    - ``top_bigram_frac``: share of the most frequent word bigram.
+
+    Pure Catalyst higher-order array expressions — no UDF, no shuffle,
+    whole-stage codegen. The token array is materialized ONCE as a real
+    column before the lambdas (HOF lambdas get no common-subexpression
+    elimination: an inline split would re-split per element). The
+    frequency scan is exact O(distinct × tokens) per row — fine for the
+    ≤ tens-of-KB documents this targets; a sketch would replace it for
+    book-length inputs."""
+    toks = "__rep_toks"
+    bgs = "__rep_bigrams"
+
+    def top_frac(arr: str) -> Column:
+        n = F.size(F.col(arr))
+        counts = F.transform(
+            F.array_distinct(F.col(arr)),
+            lambda w: F.size(F.filter(F.col(arr), lambda t: t == w)),
+        )
+        return F.when(
+            n > 0,
+            F.round(
+                F.array_max(counts).cast("double") / n.cast("double"), 6
+            ) + 0.0,
+        )
+
+    out = (
+        df.withColumn(toks, F.split(F.col(text_col), r"\s+"))
+        .withColumn(
+            bgs,
+            # slice(toks, 1, 0) = typed empty array; sequence(1, 0)
+            # would DESCEND ([1, 0]) and hit the invalid index 0
+            F.expr(
+                f"CASE WHEN size({toks}) > 1 THEN "
+                f"transform(sequence(1, size({toks}) - 1), "
+                f"i -> concat(element_at({toks}, i), ' ', "
+                f"element_at({toks}, i + 1))) "
+                f"ELSE slice({toks}, 1, 0) END"
+            ),
+        )
+        .withColumn(
+            "dup_word_frac",
+            F.when(
+                F.size(F.col(toks)) > 0,
+                F.round(
+                    1.0
+                    - F.size(F.array_distinct(F.col(toks))).cast("double")
+                    / F.size(F.col(toks)).cast("double"),
+                    6,
+                ) + 0.0,
+            ),
+        )
+        .withColumn("top_word_frac", top_frac(toks))
+        .withColumn("top_bigram_frac", top_frac(bgs))
+    )
+    return out.drop(toks, bgs)
+
+
 def stopword_ratio(text_col: str = "text") -> Column:
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     sw = F.array(*[F.lit(w) for w in STOPWORDS])

@@ -539,3 +539,43 @@ def test_ivf_list_size_telemetry_on_skewed_corpus(spark, tmp_path):
     path = m.write(str(tmp_path))
     on_disk = json.load(open(path))
     assert on_disk["audits"]["ivf_lists"]["max_list"] == st["max_list"]
+
+def test_repetition_stats_edges_and_values(spark):
+    """with_repetition_stats: hand-checked values plus the degenerate
+    single-token / empty / fully-repeated inputs (the sequence(1,0)
+    descending-range trap), and a UDF-free single-stage plan."""
+    import pandas as pd
+
+    from nuclei_feature_extraction_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "a b a b c",      # dup 2/5; top word 2/5; top bigram 'a b' 2/4
+                "x x x x",        # full repetition
+                "solo",           # single token: no bigrams
+                "",               # split('') -> [''] single empty token
+                "one two three",  # all distinct
+            ],
+        }
+    )
+    got = (
+        with_repetition_stats(spark.createDataFrame(pdf))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["dup_word_frac"].tolist() == [0.4, 0.75, 0.0, 0.0, 0.0]
+    assert got["top_word_frac"].tolist() == [0.4, 1.0, 1.0, 1.0, 0.333333]
+    import numpy as np
+    np.testing.assert_allclose(
+        got["top_bigram_frac"].to_numpy(),
+        [0.5, 1.0, np.nan, np.nan, 0.5], equal_nan=True,
+    )
+
+    plan = (
+        with_repetition_stats(spark.createDataFrame(pdf))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "PythonUDF" not in plan
