@@ -29,8 +29,13 @@ Scale invariants (the round-1 verdict's fuzzy-dedup killers, fixed):
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # second-hash domain separator for the composite exact-dedup key
 _H2_SALT = "nfx:dedup:h2"
@@ -82,39 +87,154 @@ def _word_shingles(text_col: str, n: int) -> Column:
     )
 
 
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """SplitMix64 finalizer (public domain, Steele et al.) — a full
+    64-bit bijective mixer, vectorized over a uint64 array (numpy
+    wraps multiplication mod 2^64, exactly the semantics ANSI-mode
+    Spark SQL refuses to express JVM-side)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 32,
     shingle: int = 3,
+    backend: str = "arrow",
 ) -> DataFrame:
-    """(id, h0..h{P-1}) MinHash signature, fully NARROW: the shingle
-    array is built once per row, each shingle STRING is hashed exactly
-    once (``xxhash64(x)``), and every permutation re-hashes only the
-    resulting 8-byte long (``array_min(transform(hs, h ->
-    xxhash64(h, i)))``) — per-row higher-order functions, ZERO shuffle.
-    Hashing the fixed-width long is far cheaper than re-hashing a
-    multi-word shingle string P times (the round-2 shape), and the
-    permutations stay independent (xxhash64 seeded by i). The round-1
-    explode → groupBy(id).agg(32 × min) shape additionally paid an
-    exchange + two-phase aggregate just to regroup values by row."""
-    sh = _word_shingles(text_col, shingle)
+    """(id, mh0..mh{P-1}) MinHash signature, fully NARROW (zero
+    shuffle). Two phases:
+
+    1. JVM: the shingle array is built once per row and each shingle
+       STRING is hashed exactly once (``xxhash64``) — P-independent.
+    2. The P permutation minima over those 8-byte longs. Spark
+       higher-order functions are INTERPRETED (no whole-stage codegen),
+       so the round-4 ``array_min(transform(hs, h -> xxhash64(h, i)))``
+       paid ~P×|shingles| interpreted expression evals per row — 174 s
+       for 4.1M short docs at local[32], GC-bound and flat 8→32 cores
+       (measured round 5). The ``backend='arrow'`` default instead
+       flattens every row's hash array into ONE int64 buffer per batch
+       and computes all P minima with vectorized SplitMix64 mixing +
+       ``np.minimum.reduceat`` — same narrow plan shape, ~20× the
+       throughput. ``backend='hof'`` keeps the pure-JVM formulation
+       (different signature VALUES — both are valid MinHash families;
+       every consumer only relies on collision statistics, pinned by
+       the planted-recall tests and the LSH ⊇ exact-truth gate query).
+    """
+    if backend == "hof":
+        sh = _word_shingles(text_col, shingle)
+        row = df.select(
+            F.col(id_col),
+            F.transform(sh, lambda x: F.xxhash64(x)).alias("__hs"),
+        )
+        def perm_min(i: int):
+            # NB: the lambda must take exactly ONE parameter — a
+            # two-param lambda is F.transform's (element, index)
+            # variant and Spark would pass the array index into the
+            # second slot, silently replacing the permutation seed
+            return F.array_min(
+                F.transform("__hs", lambda h: F.xxhash64(h, F.lit(i)))
+            ).alias(f"mh{i}")
+
+        return row.select(id_col, *[perm_min(i) for i in range(num_perm)])
+    if backend != "arrow":
+        raise ValueError(f"backend must be 'arrow' or 'hof', got {backend!r}")
+
+    # phase 1: hash each TOKEN once JVM-side. Building shingle STRINGS
+    # (concat_ws per window) is the dominant interpreted-HOF cost (~25 s
+    # per 4.2M short docs, measured); windowed token-hash COMBINATION is
+    # a handful of vectorized numpy passes instead.
     row = df.select(
         F.col(id_col),
-        F.transform(sh, lambda x: F.xxhash64(x)).alias("__hs"),
+        F.transform(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: F.xxhash64(t),
+        ).alias("__hs"),
     )
+    id_field = row.schema[id_col]
+    out_schema = T.StructType(
+        [id_field]
+        + [T.StructField(f"mh{i}", T.LongType(), True) for i in range(num_perm)]
+    )
+    # distinct per-permutation xor keys, themselves mixed so consecutive
+    # permutations share no low-bit structure
+    seeds = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+    w = shingle
 
-    def perm_min(i: int):
-        # NB: the lambda must take exactly ONE parameter — a two-param
-        # lambda is F.transform's (element, index) variant and Spark
-        # would pass the array index into the second slot, silently
-        # replacing the permutation seed
-        return F.array_min(
-            F.transform("__hs", lambda h: F.xxhash64(h, F.lit(i)))
-        ).alias(f"mh{i}")
+    def _rot(x: np.ndarray, k: int) -> np.ndarray:
+        k = k % 64
+        if k == 0:
+            return x
+        return (x << np.uint64(k)) | (x >> np.uint64(64 - k))
 
-    return row.select(id_col, *[perm_min(i) for i in range(num_perm)])
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            arrs = pdf["__hs"].to_numpy()
+            lens = np.fromiter(
+                (0 if v is None else len(v) for v in arrs),
+                count=n, dtype=np.int64,
+            )
+            mins = np.empty((num_perm, n), dtype=np.uint64)
+            null = lens == 0
+
+            # --- long rows (len ≥ w): vectorized windowed combine
+            lg = np.flatnonzero(lens >= w)
+            if len(lg):
+                llens = lens[lg]
+                flat = np.concatenate(list(arrs[lg])).astype(
+                    np.int64, copy=False
+                ).view(np.uint64)
+                total = len(flat)
+                offsets = np.zeros(len(lg), dtype=np.int64)
+                np.cumsum(llens[:-1], out=offsets[1:])
+                # shingle hash at window start p: xor of rotated token
+                # hashes h[p..p+w-1] (distinct rotations keep order
+                # sensitivity), finalized by SplitMix64
+                acc = flat.copy()
+                for j in range(1, w):
+                    acc[: total - j] ^= _rot(flat[j:], 21 * j)
+                # positions whose window stays inside the row
+                pos = np.arange(total, dtype=np.int64) - np.repeat(
+                    offsets, llens
+                )
+                valid = pos < np.repeat(llens - (w - 1), llens)
+                sh_flat = _splitmix64(acc[valid])
+                sh_off = np.zeros(len(lg), dtype=np.int64)
+                np.cumsum((llens - (w - 1))[:-1], out=sh_off[1:])
+                for i in range(num_perm):
+                    mins[i, lg] = np.minimum.reduceat(
+                        _splitmix64(sh_flat ^ seeds[i]), sh_off
+                    )
+
+            # --- short rows (0 < len < w): ONE shingle of all tokens
+            # (HOF-path parity: slice() caps the window at the text)
+            sm = np.flatnonzero((lens > 0) & (lens < w))
+            if len(sm):
+                sh_small = np.empty(len(sm), dtype=np.uint64)
+                for k, ri in enumerate(sm):
+                    hs = np.asarray(arrs[ri], dtype=np.int64).view(np.uint64)
+                    a = hs[0]
+                    for j in range(1, len(hs)):
+                        a ^= _rot(hs[j : j + 1], 21 * j)[0]
+                    sh_small[k] = a
+                sh_small = _splitmix64(sh_small)
+                for i in range(num_perm):
+                    mins[i, sm] = _splitmix64(sh_small ^ seeds[i])
+
+            out = {id_col: pdf[id_col]}
+            signed = mins.view(np.int64)
+            for i in range(num_perm):
+                out[f"mh{i}"] = pd.arrays.IntegerArray(
+                    signed[i].copy(), null.copy()
+                )
+            yield pd.DataFrame(out)
+
+    return row.mapInPandas(gen, out_schema)
 
 
 def _capped_bucket_pairs(
