@@ -614,25 +614,29 @@ def ngram_contamination(
         )
         .distinct()
     )
+    b_sh = b_sh.withColumn("__hit", F.lit(1))
     if broadcast_benchmark:
         b_sh = F.broadcast(b_sh)
-    sizes = c_post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        c_post.join(b_sh, "s", "leftsemi")
+    # ONE pass over the corpus postings: a hit-flag left join + a single
+    # aggregation computes both counts. The former sizes/hits shape read
+    # the unpersisted c_post (and its interpreted shingle HOF) through
+    # two plan branches — the whole corpus shingled twice — and paid an
+    # extra id-keyed join to stitch the counts back together.
+    agg = (
+        c_post.join(b_sh, "s", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hit"),
+        )
     )
     ratio = F.col("n_hit") / F.col("n_shingles")
-    return (
-        sizes.join(hits, id_col, "left")
-        .fillna(0, ["n_hit"])
-        .select(
-            id_col,
-            "n_shingles",
-            "n_hit",
-            (F.round(ratio, 6) + F.lit(0.0)).alias("contamination"),
-            (ratio >= F.lit(float(threshold))).alias("is_contaminated"),
-        )
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_hit",
+        (F.round(ratio, 6) + F.lit(0.0)).alias("contamination"),
+        (ratio >= F.lit(float(threshold))).alias("is_contaminated"),
     )
 
 
