@@ -247,13 +247,44 @@ def _capped_bucket_pairs(
     with ``lsh_bucket_stats``). Singleton buckets are pruned too (they
     cannot form a pair), which keeps the join input minimal. Only
     (id, band, bucket) flows through the join — no payload."""
-    sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
-    cond = F.col("__bn") >= 2
     if max_bucket_size is not None:
-        cond = cond & (F.col("__bn") <= max_bucket_size)
-    eligible = buckets.join(sizes.filter(cond), ["band", "bucket"]).select(
-        id_col, "band", "bucket"
-    )
+        # capped path: ONE groupBy gathers each eligible bucket's id
+        # list (bounded by the cap) and a per-row HOF emits its
+        # C(n,2) ordered pairs — two exchanges total (groupBy +
+        # distinct). The former sizes-join + self-join shape planned
+        # FOUR exchanges and computed the bucket projection twice (no
+        # ReusedExchange fires for the self-join's two sides).
+        grouped = buckets.groupBy("band", "bucket").agg(
+            F.collect_list(id_col).alias("__ids"),
+            F.count(F.lit(1)).alias("__bn"),
+        )
+        pairs = (
+            grouped.filter(
+                (F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket_size)
+            )
+            .select(
+                F.explode(
+                    # (a, i) is DELIBERATELY transform's
+                    # (element, index) two-parameter variant: each id
+                    # pairs with every LATER id in the bucket list
+                    F.expr(
+                        "flatten(transform(__ids, (a, i) -> "
+                        "transform(slice(__ids, i + 2, size(__ids)), "
+                        "b -> struct(least(a, b) AS id_a, "
+                        "greatest(a, b) AS id_b))))"
+                    )
+                ).alias("__p")
+            )
+            .select("__p.id_a", "__p.id_b")
+            .distinct()
+        )
+        return pairs
+    # uncapped path: keep the streaming self-join — a collect_list of
+    # an unbounded bucket could not be held in one task
+    sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    eligible = buckets.join(
+        sizes.filter(F.col("__bn") >= 2), ["band", "bucket"]
+    ).select(id_col, "band", "bucket")
     a, b = eligible.alias("a"), eligible.alias("b")
     return (
         a.join(
