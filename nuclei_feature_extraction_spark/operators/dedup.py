@@ -40,6 +40,11 @@ from pyspark.sql import types as T
 # second-hash domain separator for the composite exact-dedup key
 _H2_SALT = "nfx:dedup:h2"
 
+# pair-expansion chunk size (rows per yielded Arrow frame): 2M pairs of
+# two int64s ≈ 32 MB — bounds executor python memory independent of the
+# bucket cap
+_PAIR_CHUNK = 1 << 21
+
 
 def _text_key(text_col: str) -> list[Column]:
     """192-bit composite text identity: two independent 64-bit xxhash64
@@ -249,36 +254,79 @@ def _capped_bucket_pairs(
     (id, band, bucket) flows through the join — no payload."""
     if max_bucket_size is not None:
         # capped path: ONE groupBy gathers each eligible bucket's id
-        # list (bounded by the cap) and a per-row HOF emits its
-        # C(n,2) ordered pairs — two exchanges total (groupBy +
-        # distinct). The former sizes-join + self-join shape planned
+        # list (bounded by the cap) and a vectorized mapInPandas pass
+        # emits its C(n,2) ordered pairs — two exchanges total (groupBy
+        # + distinct). The former sizes-join + self-join shape planned
         # FOUR exchanges and computed the bucket projection twice (no
-        # ReusedExchange fires for the self-join's two sides).
+        # ReusedExchange fires for the self-join's two sides); the
+        # round-5 HOF expansion paid ~C(n,2) INTERPRETED lambda evals
+        # per bucket AND materialized all pairs of a bucket as one
+        # in-row struct array. Here pairs are emitted as numpy slices
+        # in ≤ _PAIR_CHUNK-row frames, so peak executor memory is
+        # bounded regardless of how high the user raises the cap.
         grouped = buckets.groupBy("band", "bucket").agg(
             F.collect_list(id_col).alias("__ids"),
             F.count(F.lit(1)).alias("__bn"),
         )
-        pairs = (
-            grouped.filter(
-                (F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket_size)
-            )
-            .select(
-                F.explode(
-                    # (a, i) is DELIBERATELY transform's
-                    # (element, index) two-parameter variant: each id
-                    # pairs with every LATER id in the bucket list
-                    F.expr(
-                        "flatten(transform(__ids, (a, i) -> "
-                        "transform(slice(__ids, i + 2, size(__ids)), "
-                        "b -> struct(least(a, b) AS id_a, "
-                        "greatest(a, b) AS id_b))))"
-                    )
-                ).alias("__p")
-            )
-            .select("__p.id_a", "__p.id_b")
-            .distinct()
+        eligible = grouped.filter(
+            (F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket_size)
+        ).select("__ids")
+        id_type = buckets.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("id_a", id_type, False),
+                T.StructField("id_b", id_type, False),
+            ]
         )
-        return pairs
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bufs_a: list = []
+            bufs_b: list = []
+            acc = 0
+
+            def flush():
+                out = pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(bufs_a),
+                        "id_b": np.concatenate(bufs_b),
+                    }
+                )
+                bufs_a.clear()
+                bufs_b.clear()
+                return out
+
+            for pdf in batches:
+                for ids in pdf["__ids"]:
+                    # sort + unique: with i < j over the sorted array
+                    # every pair comes out (min, max)-ordered and a
+                    # doubly-listed id cannot emit an (a, a) self-pair
+                    u = np.unique(np.asarray(ids))
+                    n = len(u)
+                    if n < 2:
+                        continue
+                    if n * (n - 1) // 2 <= _PAIR_CHUNK:
+                        ia, ib = np.triu_indices(n, k=1)
+                        bufs_a.append(u[ia])
+                        bufs_b.append(u[ib])
+                        acc += len(ia)
+                        if acc >= _PAIR_CHUNK:
+                            yield flush()
+                            acc = 0
+                    else:
+                        # huge bucket (user-raised cap): stream one
+                        # anchor row at a time so no single allocation
+                        # exceeds n-1 pairs
+                        for r in range(n - 1):
+                            bufs_a.append(np.full(n - 1 - r, u[r]))
+                            bufs_b.append(u[r + 1 :])
+                            acc += n - 1 - r
+                            if acc >= _PAIR_CHUNK:
+                                yield flush()
+                                acc = 0
+            if bufs_a:
+                yield flush()
+
+        return eligible.mapInPandas(gen, out_schema).distinct()
     # uncapped path: keep the streaming self-join — a collect_list of
     # an unbounded bucket could not be held in one task
     sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
@@ -353,6 +401,7 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     max_bucket_size: int | None = 1000,
     audit: dict | None = None,
+    backend: str = "arrow",
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b, est_jaccard) via banded LSH.
 
@@ -363,15 +412,23 @@ def minhash_lsh_pairs(
     Signatures are re-attached only AFTER pair distinct.
 
     Pass ``audit={}`` to have the cap's drop volume measured into it
-    (``lsh_bucket_stats`` keys: n_dropped_buckets/members…) so the
-    run's lineage metrics record what the cap cost — caps must never be
-    silent."""
+    (``lsh_bucket_stats`` keys: n_dropped_buckets/members…) plus the
+    ``signature_backend`` used, so the run's lineage metrics record both
+    what the cap cost (caps must never be silent) and which MinHash
+    family produced the signatures — 'arrow' and 'hof' signatures are
+    VALUE-incompatible (both valid families; cross-backend est_jaccard
+    or bucket matches are meaningless), so persisted signature stores
+    must carry this marker."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    sig = minhash_signature(df, id_col, text_col, num_perm, shingle).cache()
+    sig = minhash_signature(
+        df, id_col, text_col, num_perm, shingle, backend=backend
+    ).cache()
     buckets = minhash_buckets(sig, id_col, num_perm, bands)
-    if audit is not None and max_bucket_size is not None:
-        audit.update(lsh_bucket_stats(buckets, max_bucket_size))
+    if audit is not None:
+        audit["signature_backend"] = backend
+        if max_bucket_size is not None:
+            audit.update(lsh_bucket_stats(buckets, max_bucket_size))
     pairs = _capped_bucket_pairs(buckets, id_col, max_bucket_size)
     sa = sig.select(
         F.col(id_col).alias("id_a"),
@@ -722,28 +779,35 @@ def connected_components(
         ).collect()[0]
         return (row["d1"], row["d2"], row["n"])
 
-    prev_digest = None
-    for _ in range(max_iter):
-        prop = sym.join(
-            labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "comp")
-        merged = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+    # unpersist on EVERY exit path (convergence, non-convergence raise,
+    # mid-loop executor error) — a leaked persisted frame lives for the
+    # rest of the session
+    try:
+        prev_digest = None
+        for _ in range(max_iter):
+            prop = sym.join(
+                labels.withColumnRenamed("id", "src"), "src"
+            ).select(F.col("dst").alias("id"), "comp")
+            merged = (
+                labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+            )
+            jt = merged.select(
+                F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+            )
+            labels = (
+                merged.join(jt, merged["comp"] == jt["__jid"], "left")
+                .select("id", F.least("comp", "__jcomp").alias("comp"))
+            ).localCheckpoint(eager=True)
+            cur = digest(labels)
+            if prev_digest is not None and cur == prev_digest:
+                return labels
+            prev_digest = cur
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        jt = merged.select(
-            F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
-        )
-        labels = (
-            merged.join(jt, merged["comp"] == jt["__jid"], "left")
-            .select("id", F.least("comp", "__jcomp").alias("comp"))
-        ).localCheckpoint(eager=True)
-        cur = digest(labels)
-        if prev_digest is not None and cur == prev_digest:
-            directed.unpersist()
-            sym.unpersist()
-            return labels
-        prev_digest = cur
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        directed.unpersist()
+        sym.unpersist()
 
 
 def dup_groups(

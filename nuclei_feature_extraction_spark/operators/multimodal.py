@@ -401,7 +401,11 @@ def _split_by_bytes(
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` knows nothing about
     payload size, so a batch of large videos can dwarf executor python
     memory). Always yields at least one row per chunk."""
-    sizes = pdf[blob_col].map(len).to_numpy(dtype=np.int64)
+    # a null blob sizes as 0 here (MEDIA_SCHEMA's blob is nullable) —
+    # the per-row decoder surfaces the actual error, not this chunker
+    sizes = pdf[blob_col].map(
+        lambda b: len(b) if b is not None else 0
+    ).to_numpy(dtype=np.int64)
     csum = np.cumsum(sizes)
     start = 0
     while start < len(pdf):

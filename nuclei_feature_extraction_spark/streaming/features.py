@@ -101,24 +101,34 @@ def _split_late(
     rows: pd.DataFrame, us: np.ndarray, last_us, last_turn,
     policy: str, conv: str,
 ):
-    """Enforce per-conversation event-time monotonicity across
-    micro-batches: rows at or before the state's (ts, turn_idx)
+    """Enforce per-conversation event-time monotonicity across AND
+    within micro-batches: rows at or before the state's (ts, turn_idx)
     high-water mark are LATE (a replayed duplicate or out-of-order
-    delivery). ``policy='error'`` fails the query loudly — silently
-    wrong prefixes are worse than a dead stream; ``policy='drop'``
-    skips them (count carried in state; an ``observe`` on input vs
-    output rows surfaces the deficit as a lineage metric)."""
+    delivery), and a row whose (ts, turn_idx) equals a preceding row's
+    in the SAME sorted micro-batch is a replayed duplicate too (sorting
+    makes intra-batch dups adjacent — without this check a replay that
+    lands in the original's batch would be silently double-counted into
+    the cooc/runlen state even under ``policy='error'``).
+    ``policy='error'`` fails the query loudly — silently wrong prefixes
+    are worse than a dead stream; ``policy='drop'`` skips them (count
+    carried in state; an ``observe`` on input vs output rows surfaces
+    the deficit as a lineage metric)."""
     turn = rows["turn_idx"].to_numpy()
     late = (us < last_us) | ((us == last_us) & (turn <= last_turn))
+    # rows are sorted by (ts, turn_idx): an intra-batch replay is
+    # adjacent to its original, so key-equal-to-predecessor flags it
+    if len(rows) > 1:
+        late[1:] |= (us[1:] == us[:-1]) & (turn[1:] == turn[:-1])
     if not late.any():
         return rows, us, 0
     if policy == "error":
         i = int(np.argmax(late))
         raise ValueError(
-            f"out-of-order input for conv_id={conv!r}: row "
+            f"out-of-order or duplicate input for conv_id={conv!r}: row "
             f"(ts_us={int(us[i])}, turn_idx={int(turn[i])}) arrived after "
             f"high-water mark (ts_us={int(last_us)}, turn_idx="
-            f"{int(last_turn)}); replay micro-batches in event-time order "
+            f"{int(last_turn)}) or duplicates a row in its own "
+            "micro-batch; replay micro-batches in event-time order "
             "or pass late_policy='drop'"
         )
     keep = ~late
@@ -395,6 +405,16 @@ def _update(
             state.update(tuple(got[:base]) + (last_us, last_turn, n_late))
             return
     else:
+        # no cross-batch high-water mark yet, but an intra-batch replay
+        # (duplicate key inside the conversation's FIRST batch) still
+        # routes through the late policy — sentinel mark below any real
+        # timestamp
+        rows, us, dropped = _split_late(
+            rows, us, -(2**63), -1, late_policy, key[0]
+        )
+        n_late = dropped
+        if not len(rows):  # defensive: first batch entirely duplicates
+            return
         counts = [0.0] * (K * K)
         xcounts = [0.0] * (KA * K)
         prev_lev, prev_role, n = -1, -1, 0

@@ -82,6 +82,12 @@ def _update(
             ))
             return
     else:
+        # first batch of the conversation: still route intra-batch
+        # replayed duplicates through the late policy (sentinel mark)
+        rows, us_new, dropped = _split_late(
+            rows, us_new, -(2**63), -1, late_policy, key[0]
+        )
+        n_late = dropped
         tail_us, tail_tlen, tail_role = [], [], []
         pos0, base_session, n_seen = 0, 0, 0
 

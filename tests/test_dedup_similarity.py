@@ -579,3 +579,47 @@ def test_repetition_stats_edges_and_values(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+def test_capped_pair_expansion_matches_self_join(spark, monkeypatch):
+    """The chunked mapInPandas pair expansion (capped path) must emit
+    EXACTLY the self-join's pair set — for long AND string ids, and
+    also when a bucket overflows the chunk budget (the streaming
+    one-anchor-row path for user-raised caps)."""
+    from nuclei_feature_extraction_spark.operators import dedup as dd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for b in range(6):
+        size = int(rng.integers(2, 40))
+        for i in range(size):
+            rows.append((b * 100 + i, b))
+    buckets = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "bucket"])
+    ).withColumn("band", F.lit(0)).select("doc_id", "band", "bucket")
+
+    def pair_set(df):
+        return {
+            tuple(r) for r in df.select("id_a", "id_b").toPandas().itertuples(
+                index=False
+            )
+        }
+
+    uncapped = pair_set(dd._capped_bucket_pairs(buckets, "doc_id", None))
+    capped = pair_set(dd._capped_bucket_pairs(buckets, "doc_id", 1000))
+    assert capped == uncapped and len(capped) > 50
+
+    # chunk-overflow path: every bucket is "huge" relative to the chunk
+    monkeypatch.setattr(dd, "_PAIR_CHUNK", 8)
+    tiny_chunks = pair_set(dd._capped_bucket_pairs(buckets, "doc_id", 1000))
+    assert tiny_chunks == uncapped
+    monkeypatch.undo()
+
+    # string ids (np.unique/np.full must preserve full-width values)
+    sb = buckets.select(
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("doc_id"),
+        "band", "bucket",
+    )
+    s_uncapped = pair_set(dd._capped_bucket_pairs(sb, "doc_id", None))
+    s_capped = pair_set(dd._capped_bucket_pairs(sb, "doc_id", 1000))
+    assert s_capped == s_uncapped and len(s_capped) == len(uncapped)

@@ -702,3 +702,83 @@ def test_streaming_windows_out_of_order(spark, tiny_pdf, tmp_path):
             got[c].to_numpy(), want[c].to_numpy(),
             rtol=1e-9, atol=1e-9, equal_nan=True, err_msg=c,
         )
+
+
+def test_streaming_prefix_intra_batch_duplicate(spark, tiny_pdf, tmp_path):
+    """A replayed duplicate landing in the SAME micro-batch as its
+    original (identical ts, turn_idx — sorted adjacent) must route
+    through the late policy too: 'error' kills the query, 'drop' skips
+    exactly the duplicates and matches batch on the originals (ADVICE
+    r5: the high-water mark alone only guards across batches)."""
+    import pytest as _pytest
+
+    from nuclei_feature_extraction_spark.functions.kernels import (
+        prefix_features,
+    )
+    from nuclei_feature_extraction_spark.streaming.features import (
+        COOC_OUT,
+        streaming_prefix_features,
+    )
+
+    # ONE file: every conversation's first 2 rows replayed inside the
+    # same micro-batch as the originals
+    dups = tiny_pdf.sort_values(["conv_id", "ts", "turn_idx"]).groupby(
+        "conv_id"
+    ).head(2)
+    src = tmp_path / "intradup"
+    src.mkdir()
+    pd.concat([tiny_pdf, dups], ignore_index=True).to_parquet(
+        src / "p0.parquet", index=False
+    )
+    schema = spark.read.parquet(str(src)).schema
+
+    def run(policy, name):
+        q = (
+            streaming_prefix_features(
+                spark.readStream.schema(schema).parquet(str(src)),
+                late_policy=policy,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}ck"))
+            .start()
+        )
+        return q
+
+    q = run("error", "intradup_err")
+    try:
+        with _pytest.raises(Exception) as ei:
+            q.processAllAvailable()
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    assert "duplicate" in str(ei.value)
+
+    q = run("drop", "intradup_drop")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM intradup_drop").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    cols = [f"cooc_{s}_d1_k4" for s in COOC_OUT]
+    want = (
+        prefix_features(
+            spark.createDataFrame(tiny_pdf),
+            families=("cooc",), lags=(1,), levels=(4,),
+        )
+        .select("conv_id", "turn_idx", *cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(tiny_pdf)
+    for c in cols:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[c].to_numpy(), equal_nan=True,
+            rtol=1e-9, atol=1e-9, err_msg=c,
+        )
