@@ -831,13 +831,20 @@ def _events_as_role_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _replay_stream(spark: SparkSession, tr: DataFrame, op, prefix: str):
+def _replay_stream(
+    spark: SparkSession, tr: DataFrame, op, prefix: str, split=None
+):
     """Deterministic 2-micro-batch replay harness for the streaming gate
     queries: write the transcript rows as two parquet files split at the
     median ts (per-conversation event-time stays monotone across the
     micro-batch boundary — the stateful operators' replay contract),
     stream them file-per-trigger through ``op``, and return the memory
-    sink's content joined back to (conv_id, turn_idx) → event_id."""
+    sink's content joined back to (conv_id, turn_idx) → event_id.
+
+    ``split``: optional ``pdf -> boolean mask`` choosing each row's file
+    (True → p0, the FIRST micro-batch) — the late-row gate query uses it
+    to put each conversation's LATER half in batch 0 so batch 1 arrives
+    entirely behind the high-water mark."""
     import tempfile
 
     pdf = tr.toPandas().sort_values(["conv_id", "ts", "turn_idx"])
@@ -846,15 +853,17 @@ def _replay_stream(spark: SparkSession, tr: DataFrame, op, prefix: str):
     for c in ("role", "text", "tool"):
         if c in pdf.columns:
             pdf[c] = pdf[c].astype("string")
-    cut = pdf["ts"].quantile(0.5)
+    first = (
+        pdf["ts"] <= pdf["ts"].quantile(0.5) if split is None else split(pdf)
+    )
     tmp = tempfile.mkdtemp(prefix=f"nfx_{prefix}_gate_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     cols = [c for c in pdf.columns if c != "event_id"]
-    pdf.loc[pdf["ts"] <= cut, cols].to_parquet(
+    pdf.loc[first, cols].to_parquet(
         os.path.join(src, "p0.parquet"), index=False
     )
-    pdf.loc[pdf["ts"] > cut, cols].to_parquet(
+    pdf.loc[~first, cols].to_parquet(
         os.path.join(src, "p1.parquet"), index=False
     )
     schema = spark.read.parquet(src).schema
@@ -909,6 +918,12 @@ def q_streaming_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr = _events_as_role_transcripts(spark, sf_dir)
     keyed = _replay_stream(spark, tr, streaming_prefix_features, "sprefix")
+    return _streaming_prefix_gate_select(keyed)
+
+
+def _streaming_prefix_gate_select(keyed: DataFrame) -> DataFrame:
+    """The exact-accumulator column set the streaming prefix gate
+    queries expose (shared by the in-order and late-drop replays)."""
     cooc_sel = {
         "cooc_contrast_d1_k4": "cooc_contrast",
         "cooc_dissimilarity_d1_k4": "cooc_dissimilarity",
@@ -937,6 +952,38 @@ def q_streaming_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             for src, dst in _RL_GATE_SEL.items()
         ],
     )
+
+
+def q_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming out-of-order contract through the driver gate:
+    micro-batch 0 carries each conversation's LATER half, micro-batch 1
+    its earlier half — so every batch-1 row arrives behind the
+    per-conversation (ts, turn_idx) high-water mark and
+    ``late_policy='drop'`` must skip EXACTLY those rows while the
+    accepted rows' prefix features stay bit-identical to a batch run
+    over the accepted set (the DuckDB oracle recomputes the same
+    prefix stats over only each user's later half). Pins
+    dropped-not-corrupted: any state pollution by a late row, or any
+    over-drop, breaks the value hash."""
+    from nuclei_feature_extraction_spark.streaming.features import (
+        streaming_prefix_features,
+    )
+
+    tr = _events_as_role_transcripts(spark, sf_dir)
+
+    def later_half_first(pdf):
+        cc = pdf.groupby("conv_id").cumcount()
+        size = pdf.groupby("conv_id")["turn_idx"].transform("size")
+        return (cc >= size // 2).to_numpy()
+
+    keyed = _replay_stream(
+        spark,
+        tr,
+        lambda s: streaming_prefix_features(s, late_policy="drop"),
+        "slatedrop",
+        split=later_half_first,
+    )
+    return _streaming_prefix_gate_select(keyed)
 
 
 def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_prefix": q_streaming_prefix,
         "streaming_windows": q_streaming_windows,
+        "streaming_late_drop": q_streaming_late_drop,
         "lag_gap": q_lag_gap,
         "rolling": q_rolling,
         "rolling_range": q_rolling_range,
@@ -1760,6 +1808,27 @@ def oracle_sql() -> dict[str, str]:
     # streaming replays are hash-checked against the SAME oracles as
     # their batch twins — batch == streaming == DuckDB with one truth
     d["streaming_prefix"] = f"""
+        SELECT c.*, x.* EXCLUDE (event_id), r.* EXCLUDE (event_id)
+        FROM ({d["prefix_cooc"]}) c
+        JOIN ({d["prefix_xcooc"]}) x ON x.event_id = c.event_id
+        JOIN ({d["prefix_runlen"]}) r ON r.event_id = c.event_id
+    """
+    # late-drop replay: the accepted set is each user's LATER half (the
+    # earlier half arrives in micro-batch 1, behind the high-water mark,
+    # and is dropped). The non-recursive `events` CTE SHADOWS the events
+    # view for every prefix oracle below it — same stats, recomputed
+    # from scratch over only the accepted rows (positions/runs restart,
+    # exactly like the streaming state that never saw the dropped rows).
+    d["streaming_late_drop"] = f"""
+        WITH events AS (
+          SELECT * EXCLUDE (__rn, __n) FROM (
+            SELECT e.*,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS __rn,
+                   count(*) OVER (PARTITION BY user_id) AS __n
+            FROM events e
+          ) WHERE __rn - 1 >= __n // 2
+        )
         SELECT c.*, x.* EXCLUDE (event_id), r.* EXCLUDE (event_id)
         FROM ({d["prefix_cooc"]}) c
         JOIN ({d["prefix_xcooc"]}) x ON x.event_id = c.event_id

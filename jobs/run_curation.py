@@ -81,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
     from nuclei_feature_extraction_spark.operators.dedup import (
         dup_groups,
         exact_dedup,
+        harvest_lsh_audit,
         minhash_lsh_pairs,
         ngram_contamination,
         ngram_jaccard_verify,
@@ -145,8 +146,13 @@ def main(argv: list[str] | None = None) -> int:
         n = m
 
     if not args.skip_fuzzy_dedup:
+        # observe_audit: the cap stats ride the pair plan as observe()
+        # metrics (completed by the verify stage's eager checkpoint) —
+        # no separate aggregate job on the serial path
         audit: dict = {}
-        cand = minhash_lsh_pairs(cur, idc, txc, audit=audit)
+        cand = minhash_lsh_pairs(
+            cur, idc, txc, audit=audit, observe_audit=True
+        )
         pairs = ngram_jaccard_verify(
             cur, cand.select("id_a", "id_b"), idc, txc
         ).filter(F.col("jaccard") >= args.fuzzy_threshold)
@@ -154,7 +160,7 @@ def main(argv: list[str] | None = None) -> int:
         cur, m = checkpointed(
             cur.join(groups.filter("is_canonical").select(idc), idc, "inner")
         )
-        record("fuzzy_dedup", n, m, lsh_audit=audit,
+        record("fuzzy_dedup", n, m, lsh_audit=harvest_lsh_audit(audit),
                threshold=args.fuzzy_threshold)
         n = m
 
@@ -200,14 +206,15 @@ def main(argv: list[str] | None = None) -> int:
             pairs_e = embedding_near_dup_pairs(
                 emb, dim, threshold=args.embedding_threshold,
                 id_col=eid, vec_col=vec_col, audit=audit_e,
+                observe_audit=True,
             ).select(F.col("id_a"), F.col("id_b"))
             groups_e = dup_groups(cur.select(F.col(idc)), pairs_e, idc)
             cur, m = checkpointed(cur.join(
                 groups_e.filter("is_canonical").select(idc), idc, "inner"
             ))
             record("embedding_near_dup", n, m,
-                   threshold=args.embedding_threshold, lsh_audit=audit_e,
-                   vec_col=vec_col)
+                   threshold=args.embedding_threshold,
+                   lsh_audit=harvest_lsh_audit(audit_e), vec_col=vec_col)
             n = m
 
     if args.benchmark:

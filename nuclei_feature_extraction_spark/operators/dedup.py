@@ -243,7 +243,10 @@ def minhash_signature(
 
 
 def _capped_bucket_pairs(
-    buckets: DataFrame, id_col: str, max_bucket_size: int | None
+    buckets: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None,
+    observation=None,
 ) -> DataFrame:
     """Distinct candidate id pairs from a (id, band, bucket) table.
 
@@ -251,7 +254,14 @@ def _capped_bucket_pairs(
     dropped BEFORE the join (the O(B²) guard — audit the drop volume
     with ``lsh_bucket_stats``). Singleton buckets are pruned too (they
     cannot form a pair), which keeps the join input minimal. Only
-    (id, band, bucket) flows through the join — no payload."""
+    (id, band, bucket) flows through the join — no payload.
+
+    ``observation`` (a ``pyspark.sql.Observation``, capped path only):
+    the cap-drop stats ride the pair plan as ``observe()`` metrics on
+    the already-grouped bucket frame — zero extra Spark jobs, vs the
+    separate ``lsh_bucket_stats`` aggregate. Metrics complete with the
+    first ACTION over the pair plan; harvest with
+    ``harvest_lsh_audit``."""
     if max_bucket_size is not None:
         # capped path: ONE groupBy gathers each eligible bucket's id
         # list (bounded by the cap) and a vectorized mapInPandas pass
@@ -268,6 +278,20 @@ def _capped_bucket_pairs(
             F.collect_list(id_col).alias("__ids"),
             F.count(F.lit(1)).alias("__bn"),
         )
+        if observation is not None:
+            grouped = grouped.observe(
+                observation,
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.max("__bn").alias("max_bucket"),
+                F.sum(
+                    F.when(F.col("__bn") > max_bucket_size, 1).otherwise(0)
+                ).alias("n_dropped_buckets"),
+                F.sum(
+                    F.when(
+                        F.col("__bn") > max_bucket_size, F.col("__bn")
+                    ).otherwise(0)
+                ).alias("n_dropped_members"),
+            )
         eligible = grouped.filter(
             (F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket_size)
         ).select("__ids")
@@ -371,6 +395,60 @@ def lsh_bucket_stats(buckets: DataFrame, max_bucket_size: int) -> dict:
     return {k: (0 if row[k] is None else int(row[k])) for k in row.asDict()}
 
 
+def _pending_cap_observation(
+    audit: dict | None,
+    max_bucket_size,
+    observe_audit: bool,
+    name: str,
+    buckets: DataFrame | None = None,
+):
+    """When the caller opts into the zero-extra-job cap audit
+    (``observe_audit=True``): mint an ``Observation``, park it in the
+    audit dict under ``_pending_observation`` (plus the buckets frame
+    for the empty-plan fallback) and return it (else None). The caller
+    must run ``harvest_lsh_audit`` after the first action over the pair
+    plan."""
+    if audit is None or max_bucket_size is None or not observe_audit:
+        return None
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    audit["_pending_observation"] = obs
+    audit["_pending_fallback"] = (buckets, max_bucket_size)
+    return obs
+
+
+def harvest_lsh_audit(audit: dict) -> dict:
+    """Fold a pending ``observe()``-based cap audit (see
+    ``_pending_cap_observation``) into plain ints in the audit dict.
+    Call ONLY after an action has executed the candidate-pair plan —
+    ``Observation.get`` blocks until the observed frame's first action
+    completes (in the curation job that's the verify stage's eager
+    checkpoint / the CC edge count). Idempotent; no-op for eager
+    audits.
+
+    Known Spark wrinkle (pinned by test): when the candidate set turns
+    out EMPTY, AQE's empty-relation propagation rewrites the executed
+    plan and the ``CollectMetrics`` node is dropped — the observation
+    completes with an EMPTY row. In that (cheap — nothing matched)
+    case this falls back to the eager ``lsh_bucket_stats`` job."""
+    obs = audit.pop("_pending_observation", None)
+    fallback = audit.pop("_pending_fallback", (None, None))
+    if obs is None:
+        return audit
+    try:
+        got = obs.get
+    except Exception:
+        got = {}  # empty GenericRow → toPyRow assertion failure
+    if got:
+        audit.update(
+            {k: (0 if v is None else int(v)) for k, v in got.items()}
+        )
+    elif fallback[0] is not None:
+        audit.update(lsh_bucket_stats(fallback[0], fallback[1]))
+    return audit
+
+
 def minhash_buckets(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -402,6 +480,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int | None = 1000,
     audit: dict | None = None,
     backend: str = "arrow",
+    observe_audit: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b, est_jaccard) via banded LSH.
 
@@ -418,18 +497,27 @@ def minhash_lsh_pairs(
     family produced the signatures — 'arrow' and 'hof' signatures are
     VALUE-incompatible (both valid families; cross-backend est_jaccard
     or bucket matches are meaningless), so persisted signature stores
-    must carry this marker."""
+    must carry this marker.
+
+    ``observe_audit=True`` makes the cap stats ride the pair plan as
+    ``observe()`` metrics instead of a separate eager aggregate job
+    (the serial-floor path for driver-paced pipelines); the caller must
+    then run ``harvest_lsh_audit(audit)`` after the first action over
+    the result."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     sig = minhash_signature(
         df, id_col, text_col, num_perm, shingle, backend=backend
     ).cache()
     buckets = minhash_buckets(sig, id_col, num_perm, bands)
+    obs = _pending_cap_observation(
+        audit, max_bucket_size, observe_audit, "nfx_minhash_cap", buckets
+    )
     if audit is not None:
         audit["signature_backend"] = backend
-        if max_bucket_size is not None:
+        if max_bucket_size is not None and obs is None:
             audit.update(lsh_bucket_stats(buckets, max_bucket_size))
-    pairs = _capped_bucket_pairs(buckets, id_col, max_bucket_size)
+    pairs = _capped_bucket_pairs(buckets, id_col, max_bucket_size, obs)
     sa = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)],
@@ -532,6 +620,7 @@ def simhash_near_dup_pairs(
     max_bucket_size: int | None = 1000,
     band_bits: int = 16,
     audit: dict | None = None,
+    observe_audit: bool = False,
 ) -> DataFrame:
     """Candidate pairs whose simhash agrees on ≥1 band, filtered to true
     hamming ≤ max_hamming via bit_count(xor). Recall is EXACT (pigeonhole)
@@ -559,9 +648,12 @@ def simhash_near_dup_pairs(
         )
     s = simhash(df, id_col, text_col, band_bits=band_bits).cache()
     buckets = simhash_buckets(s, id_col)
-    if audit is not None and max_bucket_size is not None:
+    obs = _pending_cap_observation(
+        audit, max_bucket_size, observe_audit, "nfx_simhash_cap", buckets
+    )
+    if audit is not None and max_bucket_size is not None and obs is None:
         audit.update(lsh_bucket_stats(buckets, max_bucket_size))
-    pairs = _capped_bucket_pairs(buckets, id_col, max_bucket_size)
+    pairs = _capped_bucket_pairs(buckets, id_col, max_bucket_size, obs)
     sa = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"))
     sb = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"))
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
@@ -733,6 +825,7 @@ def connected_components(
     id_col_a: str = "id_a",
     id_col_b: str = "id_b",
     max_iter: int = 30,
+    hops_per_round: int = 3,
 ) -> DataFrame:
     """Connected components of an undirected pair graph → (id, comp)
     where comp = min node id in the component.
@@ -742,10 +835,20 @@ def connected_components(
     among itself and its neighbors (one hop), then chases its label's
     label (comp ← comp[comp], pointer jumping) — the doubling step that
     turns an O(diameter) loop into O(log diameter): a 10^6-node chain
-    converges in ~20 rounds, not 10^6. ``localCheckpoint`` each round
-    truncates the growing lineage; convergence is detected by the
-    (monotonically decreasing) sum of labels — one scalar collect per
-    round, no extra comparison join."""
+    converges in ~20 rounds, not 10^6.
+
+    DRIVER-SYNC SHAPE (the 100-TB-relevant cost): ONE Spark job per
+    round, total. ``hops_per_round`` pointer jumps are COMPOSED into a
+    single plan before the round's ``localCheckpoint`` (the min-label
+    lattice makes stacked hops safe — each extra hop only chases labels
+    further down the same monotone chain), each intermediate lazily
+    ``persist()``-ed so the self-join's two branches share one
+    computation instead of re-executing the upstream per branch; and
+    the convergence digest rides the eager checkpoint itself as an
+    ``observe()`` metric (verified: eager localCheckpoint completes
+    observations) instead of a second collect job. Round 5 paid
+    2 driver-synchronized jobs × ~7 rounds for the 4.2M-doc curation
+    graph; this shape pays ~1 × 3-4."""
     # the symmetric union reads ``pairs`` through TWO plan branches;
     # Spark gives unpersisted subtrees no cross-branch reuse, so an
     # expensive upstream (LSH ∘ verify) would execute twice — persist
@@ -769,36 +872,51 @@ def connected_components(
     # decimal(38,0) sums never overflow (ANSI long sum raises at
     # ~10^10 rows) and a changed round escaping BOTH 64-bit digests is
     # a ~2^-128 event.
-    def digest(lbl: DataFrame) -> tuple:
-        row = lbl.agg(
-            F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("d1"),
-            F.sum(
-                F.xxhash64(F.lit("nfx:cc:d2"), "id", "comp").cast("decimal(38,0)")
-            ).alias("d2"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        return (row["d1"], row["d2"], row["n"])
+    from pyspark.sql import Observation
+
+    digest_exprs = lambda: (  # noqa: E731 — fresh Columns per round
+        F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("d1"),
+        F.sum(
+            F.xxhash64(F.lit("nfx:cc:d2"), "id", "comp").cast("decimal(38,0)")
+        ).alias("d2"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
     # unpersist on EVERY exit path (convergence, non-convergence raise,
     # mid-loop executor error) — a leaked persisted frame lives for the
     # rest of the session
     try:
         prev_digest = None
-        for _ in range(max_iter):
+        for rnd in range(max_iter):
+            interm: list[DataFrame] = []
             prop = sym.join(
                 labels.withColumnRenamed("id", "src"), "src"
             ).select(F.col("dst").alias("id"), "comp")
-            merged = (
+            lbl = (
                 labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
             )
-            jt = merged.select(
-                F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+            for _hop in range(max(1, hops_per_round)):
+                # lazy persist: the self-join below reads ``lbl``
+                # through two plan branches (different shuffle keys, no
+                # exchange reuse) — the cache makes both branches share
+                # one computation inside the round's single job
+                lbl = lbl.persist()
+                interm.append(lbl)
+                jt = lbl.select(
+                    F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+                )
+                lbl = (
+                    lbl.join(jt, lbl["comp"] == jt["__jid"], "left")
+                    .select("id", F.least("comp", "__jcomp").alias("comp"))
+                )
+            obs = Observation(f"nfx_cc_round_{rnd}")
+            labels = lbl.observe(obs, *digest_exprs()).localCheckpoint(
+                eager=True
             )
-            labels = (
-                merged.join(jt, merged["comp"] == jt["__jid"], "left")
-                .select("id", F.least("comp", "__jcomp").alias("comp"))
-            ).localCheckpoint(eager=True)
-            cur = digest(labels)
+            got = obs.get  # completed by the eager checkpoint job
+            cur = (got["d1"], got["d2"], got["n"])
+            for f in interm:
+                f.unpersist()
             if prev_digest is not None and cur == prev_digest:
                 return labels
             prev_digest = cur

@@ -126,6 +126,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 3,
     max_bucket_size: int | None = 1000,
     audit: dict | None = None,
+    observe_audit: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: ``n_tables``
     independent hyperplane-LSH signatures (near-identical vectors agree
@@ -160,13 +161,17 @@ def embedding_near_dup_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    if audit is not None and max_bucket_size is not None:
-        from nuclei_feature_extraction_spark.operators.dedup import (
-            lsh_bucket_stats,
-        )
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        _pending_cap_observation,
+        lsh_bucket_stats,
+    )
 
+    obs = _pending_cap_observation(
+        audit, max_bucket_size, observe_audit, "nfx_embedding_cap", buckets
+    )
+    if audit is not None and max_bucket_size is not None and obs is None:
         audit.update(lsh_bucket_stats(buckets, max_bucket_size))
-    pairs = _capped_bucket_pairs(buckets, id_col, max_bucket_size)
+    pairs = _capped_bucket_pairs(buckets, id_col, max_bucket_size, obs)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     sim = cosine_sim(

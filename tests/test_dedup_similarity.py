@@ -623,3 +623,39 @@ def test_capped_pair_expansion_matches_self_join(spark, monkeypatch):
     s_uncapped = pair_set(dd._capped_bucket_pairs(sb, "doc_id", None))
     s_capped = pair_set(dd._capped_bucket_pairs(sb, "doc_id", 1000))
     assert s_capped == s_uncapped and len(s_capped) == len(uncapped)
+
+
+def test_observe_audit_matches_eager(spark):
+    """observe_audit=True must yield the same cap stats as the eager
+    lsh_bucket_stats job — just with zero extra Spark jobs (the metrics
+    ride the pair plan; harvest after the first action)."""
+    from nuclei_feature_extraction_spark.operators.dedup import (
+        harvest_lsh_audit,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, "spam spam spam spam") for i in range(200)]
+    rows += [(1000 + i, f"unique doc number {i} with words {i * 7}")
+             for i in range(20)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    eager: dict = {}
+    minhash_lsh_pairs(df, max_bucket_size=50, audit=eager)
+
+    lazy: dict = {}
+    pairs = minhash_lsh_pairs(
+        df, max_bucket_size=50, audit=lazy, observe_audit=True
+    )
+    assert "_pending_observation" in lazy and "n_buckets" not in lazy
+    pairs.count()  # first action over the pair plan completes the metrics
+    harvest_lsh_audit(lazy)
+    assert "_pending_observation" not in lazy
+    for k in ("n_buckets", "max_bucket", "n_dropped_buckets",
+              "n_dropped_members"):
+        assert lazy[k] == eager[k], k
+    assert lazy["signature_backend"] == eager["signature_backend"] == "arrow"
+    # harvest is idempotent and json-safe afterwards
+    import json as _json
+
+    harvest_lsh_audit(lazy)
+    _json.dumps(lazy)
