@@ -1815,12 +1815,20 @@ def oracle_sql() -> dict[str, str]:
     """
     # late-drop replay: the accepted set is each user's LATER half (the
     # earlier half arrives in micro-batch 1, behind the high-water mark,
-    # and is dropped). The non-recursive `events` CTE SHADOWS the events
-    # view for every prefix oracle below it — same stats, recomputed
-    # from scratch over only the accepted rows (positions/runs restart,
-    # exactly like the streaming state that never saw the dropped rows).
+    # and is dropped). The prefix oracles are re-pointed (each references
+    # `events` exactly once) at an `accepted_events` CTE — same stats,
+    # recomputed from scratch over only the accepted rows (positions/
+    # runs restart, exactly like the streaming state that never saw the
+    # dropped rows). DuckDB forbids a CTE shadowing the table it reads.
+    import re as _re
+
+    def _on_accepted(sql: str) -> str:
+        out, n = _re.subn(r"\bevents\b", "accepted_events", sql)
+        assert n == 1, f"expected exactly one events reference, got {n}"
+        return out
+
     d["streaming_late_drop"] = f"""
-        WITH events AS (
+        WITH accepted_events AS (
           SELECT * EXCLUDE (__rn, __n) FROM (
             SELECT e.*,
                    row_number() OVER (PARTITION BY user_id
@@ -1830,9 +1838,9 @@ def oracle_sql() -> dict[str, str]:
           ) WHERE __rn - 1 >= __n // 2
         )
         SELECT c.*, x.* EXCLUDE (event_id), r.* EXCLUDE (event_id)
-        FROM ({d["prefix_cooc"]}) c
-        JOIN ({d["prefix_xcooc"]}) x ON x.event_id = c.event_id
-        JOIN ({d["prefix_runlen"]}) r ON r.event_id = c.event_id
+        FROM ({_on_accepted(d["prefix_cooc"])}) c
+        JOIN ({_on_accepted(d["prefix_xcooc"])}) x ON x.event_id = c.event_id
+        JOIN ({_on_accepted(d["prefix_runlen"])}) r ON r.event_id = c.event_id
     """
     d["streaming_windows"] = """
         WITH tr AS (
