@@ -1254,6 +1254,14 @@ _SWHITS = f"len(list_filter({_LTOKS}, t -> list_contains({_STOPWORDS_SQL}, t)))"
 _SWRATIO = f"round({_SWHITS} / greatest(len({_LTOKS}), 1)::DOUBLE, 6)"
 
 
+def _langid_oracle() -> str:
+    from nuclei_feature_extraction_spark.operators.langid import (
+        oracle_fragments,
+    )
+
+    return oracle_fragments("documents", "text", "doc_id")
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "sessionize": f"""
@@ -1519,10 +1527,11 @@ def oracle_sql() -> dict[str, str]:
                        + (CASE WHEN {_SWRATIO} >= 0.01 THEN 0.3 ELSE 0.0 END), 6) AS quality_score
             FROM documents
         """,
+        # real char-bigram lang-id: the integer score table + decision
+        # CASE are generated from the SAME model the Spark side uses
+        # (operators/langid.py), so DuckDB sums identical integers
         "lang_id": f"""
-            SELECT doc_id,
-                   CASE WHEN {_SWRATIO} >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
-            FROM documents
+            SELECT doc_id, lang_pred FROM ({_langid_oracle()})
         """,
         "repetition": """
             WITH t AS (

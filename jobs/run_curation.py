@@ -240,12 +240,26 @@ def main(argv: list[str] | None = None) -> int:
         n = m
 
     if args.langs:
-        lang = with_lang_id(cur, txc)
+        from pyspark.sql import Observation
+
+        from nuclei_feature_extraction_spark.operators.langid import LANGS
+
+        # the per-language histogram rides the scoring pass as observe()
+        # metrics — no second job over the corpus
+        obs = Observation("lang_histogram")
+        lang = with_lang_id(cur, txc).observe(
+            obs,
+            *[
+                F.sum((F.col("lang_pred") == lg).cast("long")).alias(lg)
+                for lg in (*LANGS, "unknown")
+            ],
+        )
         cur, m = checkpointed(cur.join(
             lang.filter(F.col("lang_pred").isin(args.langs)).select(idc),
             idc, "inner",
         ))
-        record("lang_filter", n, m, langs=args.langs)
+        record("lang_filter", n, m, langs=args.langs,
+               lang_histogram=obs.get)
         n = m
 
     if args.split_weights:

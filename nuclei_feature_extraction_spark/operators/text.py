@@ -135,15 +135,22 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
-def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: 'en' when the English stopword hit-rate
-    clears a threshold, 'unknown' otherwise (n-gram tables would slot in
-    here; the scoring plumbing is what matters for the pipeline)."""
-    return df.withColumn("stopword_ratio", stopword_ratio(text_col)).withColumn(
-        "lang_pred",
-        F.when(F.col("stopword_ratio") >= 0.05, F.lit("en")).otherwise(
-            F.lit("unknown")
-        ),
+def with_lang_id(
+    df: DataFrame, text_col: str = "text", backend: str = "arrow"
+) -> DataFrame:
+    """Language ID via the character-bigram log-likelihood model in
+    :mod:`..operators.langid` (Cavnar & Trenkle 1994 profiles over
+    embedded public word lists, integer milli-nat scoring — en/de/es/fr
+    or 'unknown'). Adds ``lang_pred`` / ``lang_margin`` / ``lang_grams``
+    plus the legacy ``stopword_ratio`` heuristic column. backend:
+    'arrow' (vectorized batch scorer, default) or 'expr' (pure Catalyst
+    HOF folds — bit-identical, runs without Python workers)."""
+    from .langid import with_lang_scores
+
+    return with_lang_scores(
+        df.withColumn("stopword_ratio", stopword_ratio(text_col)),
+        text_col,
+        backend=backend,
     )
 
 

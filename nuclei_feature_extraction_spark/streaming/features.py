@@ -94,33 +94,42 @@ STATE_SCHEMA = (
     # out-of-order guard: per-conversation event-time high-water mark
     # ((ts µs, turn_idx) of the last accepted row) + dropped-row count
     + ", last_us long, last_turn int, n_late long"
+    # watermarked reorder buffer (late_policy='buffer'): rows held until
+    # the event-time watermark passes them; empty under other policies
+    + ", buf_us array<long>, buf_turn array<long>, buf_rolei array<long>"
+    + ", buf_htool array<long>, buf_tlen array<double>"
 )
 
 
-def _split_late(
-    rows: pd.DataFrame, us: np.ndarray, last_us, last_turn,
-    policy: str, conv: str,
-):
+def _late_mask(
+    us: np.ndarray, turn: np.ndarray, last_us: int, last_turn: int
+) -> np.ndarray:
     """Enforce per-conversation event-time monotonicity across AND
     within micro-batches: rows at or before the state's (ts, turn_idx)
     high-water mark are LATE (a replayed duplicate or out-of-order
     delivery), and a row whose (ts, turn_idx) equals a preceding row's
-    in the SAME sorted micro-batch is a replayed duplicate too (sorting
-    makes intra-batch dups adjacent — without this check a replay that
-    lands in the original's batch would be silently double-counted into
-    the cooc/runlen state even under ``policy='error'``).
-    ``policy='error'`` fails the query loudly — silently wrong prefixes
-    are worse than a dead stream; ``policy='drop'`` skips them (count
-    carried in state; an ``observe`` on input vs output rows surfaces
-    the deficit as a lineage metric)."""
-    turn = rows["turn_idx"].to_numpy()
+    in the SAME sorted batch is a replayed duplicate too (sorting makes
+    intra-batch dups adjacent — without this check a replay that lands
+    in the original's batch would be silently double-counted into the
+    cooc/runlen state even under ``policy='error'``)."""
     late = (us < last_us) | ((us == last_us) & (turn <= last_turn))
-    # rows are sorted by (ts, turn_idx): an intra-batch replay is
-    # adjacent to its original, so key-equal-to-predecessor flags it
-    if len(rows) > 1:
+    if len(us) > 1:
         late[1:] |= (us[1:] == us[:-1]) & (turn[1:] == turn[:-1])
+    return late
+
+
+def _apply_late_policy(
+    us: np.ndarray, turn: np.ndarray, late: np.ndarray,
+    policy: str, conv: str, last_us: int, last_turn: int,
+):
+    """→ (keep mask | None, n_dropped). ``policy='error'`` fails the
+    query loudly — silently wrong prefixes are worse than a dead
+    stream; ``policy='drop'`` skips late rows (count carried in state;
+    an ``observe`` on input vs output rows surfaces the deficit as a
+    lineage metric). The 'buffer' policy routes here with 'drop'
+    semantics only for rows late beyond the watermark reorder horizon."""
     if not late.any():
-        return rows, us, 0
+        return None, 0
     if policy == "error":
         i = int(np.argmax(late))
         raise ValueError(
@@ -129,10 +138,9 @@ def _split_late(
             f"high-water mark (ts_us={int(last_us)}, turn_idx="
             f"{int(last_turn)}) or duplicates a row in its own "
             "micro-batch; replay micro-batches in event-time order "
-            "or pass late_policy='drop'"
+            "or pass late_policy='drop' / 'buffer'"
         )
-    keep = ~late
-    return rows.loc[keep], us[keep], int(late.sum())
+    return ~late, int(late.sum())
 
 _XAI = np.arange(KA, dtype=np.float64)[:, None]  # role axis (rows)
 _XBJ = np.arange(K, dtype=np.float64)[None, :]   # level axis (cols)
@@ -372,28 +380,51 @@ def _runlen_advance(st: list, hist: dict, v: int, g: int) -> None:
     st[15] += extw * long_d                        # lrege
 
 
+# column order of the state-carried row buffer (late_policy='buffer')
+_BUF_DTYPES = (
+    ("us", np.int64), ("turn", np.int64), ("rolei", np.int64),
+    ("htool", np.int64), ("tlen", np.float64),
+)
+
+
+def _extract(rows: pd.DataFrame) -> dict[str, np.ndarray]:
+    """Sorted micro-batch rows → the plain-array representation the
+    state machine (and the state-carried reorder buffer) works on."""
+    rows = rows.sort_values(["ts", "turn_idx"], kind="mergesort")
+    return {
+        "us": rows["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64),
+        "turn": rows["turn_idx"].to_numpy(dtype=np.int64),
+        "rolei": rows["role"].map(ROLE_IDX).fillna(KA - 1)
+        .to_numpy(dtype=np.int64),
+        "htool": rows["tool"].notna().to_numpy().astype(np.int64),
+        "tlen": rows["tlen"].to_numpy(dtype=np.float64),
+    }
+
+
+def _take(arr: dict[str, np.ndarray], mask) -> dict[str, np.ndarray]:
+    return {k: v[mask] for k, v in arr.items()}
+
+
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
     late_policy: str = "error",
 ) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    if not len(rows):
-        return
-    rows = rows.sort_values(["ts", "turn_idx"], kind="mergesort")
-    us = rows["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    dfs = [p for p in pdfs if len(p)]
+    if dfs:
+        arr = _extract(pd.concat(dfs, ignore_index=True))
+    else:
+        # timeout invocation (buffer flush) or empty batch
+        arr = {k: np.empty(0, dtype=dt) for k, dt in _BUF_DTYPES}
+    buffering = late_policy == "buffer"
 
     n_late = 0
+    base = 18 + 3 * len(RUNLEN_SIGS)
     if state.exists:
         got = state.get
         (counts_l, prev_lev, n, su, sy, suu, syy, suy, path,
          umin, umax, ymin, ymax, t0_us, prev_u, prev_y,
          xcounts_l, prev_role) = got[:18]
-        base = 18 + 3 * len(RUNLEN_SIGS)
         last_us, last_turn, n_late = got[base], got[base + 1], got[base + 2]
-        rows, us, dropped = _split_late(
-            rows, us, last_us, last_turn, late_policy, key[0]
-        )
-        n_late += dropped
         counts = list(counts_l)
         xcounts = list(xcounts_l)
         rl_states, rl_hists = [], []
@@ -401,43 +432,90 @@ def _update(
             sc, hl, hc = got[18 + 3 * si : 18 + 3 * si + 3]
             rl_states.append(list(sc))
             rl_hists.append(dict(zip(hl, hc)))
-        if not len(rows):  # whole batch was late duplicates
-            state.update(tuple(got[:base]) + (last_us, last_turn, n_late))
-            return
+        pend = {
+            k: np.asarray(got[base + 3 + i], dtype=dt)
+            for i, (k, dt) in enumerate(_BUF_DTYPES)
+        }
     else:
-        # no cross-batch high-water mark yet, but an intra-batch replay
-        # (duplicate key inside the conversation's FIRST batch) still
-        # routes through the late policy — sentinel mark below any real
-        # timestamp
-        rows, us, dropped = _split_late(
-            rows, us, -(2**63), -1, late_policy, key[0]
-        )
-        n_late = dropped
-        if not len(rows):  # defensive: first batch entirely duplicates
-            return
+        # no cross-batch high-water mark yet — sentinel below any real
+        # timestamp so an intra-batch replay in the conversation's FIRST
+        # batch still routes through the late policy
+        last_us, last_turn = -(2**63), -1
         counts = [0.0] * (K * K)
         xcounts = [0.0] * (KA * K)
         prev_lev, prev_role, n = -1, -1, 0
         su = sy = suu = syy = suy = path = 0.0
         umin = ymin = np.inf
         umax = ymax = -np.inf
-        t0_us = int(us[0])
+        t0_us = -1  # anchored lazily to the first ACCEPTED row below
         prev_u = prev_y = 0.0
         rl_states = [
             [0.0] * (3 + _RL_ACC + g) for _, g in RUNLEN_SIGS
         ]
         rl_hists = [dict() for _ in RUNLEN_SIGS]
+        pend = {k: np.empty(0, dtype=dt) for k, dt in _BUF_DTYPES}
 
-    tlen = rows["tlen"].to_numpy(dtype=np.float64)
+    if buffering:
+        # watermarked reorder buffer: hold every row until the event-time
+        # watermark passes it, then release in (ts, turn_idx) order — a
+        # shuffled micro-batch replay within the watermark delay emits
+        # the exact batch output. Rows later than even that horizon fall
+        # through to drop-with-count below.
+        wm_us = max(state.getCurrentWatermarkMs(), 0) * 1000
+        merged = {
+            k: np.concatenate([pend[k], arr[k]]) for k, _ in _BUF_DTYPES
+        }
+        order = np.lexsort((merged["turn"], merged["us"]))
+        merged = _take(merged, order)
+        ready = merged["us"] < wm_us
+        pend = _take(merged, ~ready)
+        arr = _take(merged, ready)
+
+    def _persist():
+        state.update((
+            [int(v) for v in counts], int(prev_lev), int(n),
+            float(su), float(sy), float(suu), float(syy), float(suy),
+            float(path), float(umin), float(umax), float(ymin),
+            float(ymax), int(t0_us), float(prev_u), float(prev_y),
+            [int(v) for v in xcounts], int(prev_role),
+            *[x for si in range(len(RUNLEN_SIGS)) for x in (
+                [float(v) for v in rl_states[si]],
+                [int(v) for v in sorted(rl_hists[si])],
+                [int(rl_hists[si][v]) for v in sorted(rl_hists[si])],
+            )],
+            int(last_us), int(last_turn), int(n_late),
+            *[pend[k].tolist() for k, _ in _BUF_DTYPES],
+        ))
+        if buffering and len(pend["us"]):
+            # flush the remainder as soon as the watermark next advances
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+
+    if len(arr["us"]):
+        late = _late_mask(arr["us"], arr["turn"], last_us, last_turn)
+        keep, dropped = _apply_late_policy(
+            arr["us"], arr["turn"], late,
+            "drop" if buffering else late_policy,
+            key[0], last_us, last_turn,
+        )
+        if keep is not None:
+            arr = _take(arr, keep)
+        n_late += dropped
+    if not len(arr["us"]):
+        if state.exists or buffering:
+            _persist()
+        return
+
+    us = arr["us"]
+    if n == 0:
+        t0_us = int(us[0])
+    tlen = arr["tlen"]
     levs = discretize_log(tlen, K)
-    roles = (
-        rows["role"].map(ROLE_IDX).fillna(KA - 1).to_numpy(dtype=np.int64)
-    )
-    has_tool = rows["tool"].notna().to_numpy().astype(np.int64)
+    roles = arr["rolei"]
+    has_tool = arr["htool"]
 
     # ---- per-row STATE updates only (plain python, no numpy in the
     # loop); stat evaluation is vectorized over the snapshots below
-    m = len(rows)
+    m = len(us)
     cooc_snap = np.empty((m, K * K))
     xcooc_snap = np.empty((m, KA * K))
     shape_snap = np.empty((m, 11))
@@ -480,24 +558,13 @@ def _update(
             rl_snaps[si][i, 0] = st[0]
             rl_snaps[si][i, 1:15] = st[3:17]
 
-    state.update((
-        [int(v) for v in counts], int(prev_lev), int(n),
-        float(su), float(sy), float(suu), float(syy), float(suy),
-        float(path), float(umin), float(umax), float(ymin), float(ymax),
-        int(t0_us), float(prev_u), float(prev_y),
-        [int(v) for v in xcounts], int(prev_role),
-        *[x for si in range(len(RUNLEN_SIGS)) for x in (
-            [float(v) for v in rl_states[si]],
-            [int(v) for v in sorted(rl_hists[si])],
-            [int(rl_hists[si][v]) for v in sorted(rl_hists[si])],
-        )],
-        int(us[-1]), int(rows["turn_idx"].iloc[-1]), int(n_late),
-    ))
+    last_us, last_turn = int(us[-1]), int(arr["turn"][-1])
+    _persist()
 
     data = {
         "conv_id": key[0],
-        "turn_idx": rows["turn_idx"].to_numpy(),
-        "ts": rows["ts"].to_numpy(),
+        "turn_idx": arr["turn"].astype(np.int32),
+        "ts": us.astype("datetime64[us]"),
     }
     cooc_stats = _cooc_stats_vec(cooc_snap.reshape(m, K, K))
     for j, s_ in enumerate(COOC_OUT):
@@ -516,17 +583,32 @@ def _update(
 
 
 def streaming_prefix_features(
-    stream: DataFrame, late_policy: str = "error"
+    stream: DataFrame,
+    late_policy: str = "error",
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Per-turn co-occurrence (lag 1, K=4) + shape prefix features over
     a live transcript stream, state-incremental per conversation.
 
     ``late_policy``: what to do with rows that arrive at or before the
-    conversation's (ts, turn_idx) high-water mark — ``'error'`` (default)
-    fails the query loudly, ``'drop'`` skips them (deficit observable by
-    comparing input vs output row counts)."""
-    if late_policy not in ("error", "drop"):
-        raise ValueError(f"late_policy must be 'error' or 'drop', got {late_policy!r}")
+    conversation's (ts, turn_idx) high-water mark —
+
+    - ``'error'`` (default): fail the query loudly.
+    - ``'drop'``: skip them (deficit observable by comparing input vs
+      output row counts).
+    - ``'buffer'``: hold EVERY row in state until the event-time
+      watermark (``withWatermark('ts', watermark_delay)``, applied here)
+      passes it, then release in (ts, turn_idx) order — micro-batches
+      shuffled within the watermark delay reproduce the exact batch
+      output (event-time-timeout flushes quiesced conversations as the
+      watermark advances; rows late beyond even the watermark fall back
+      to drop-with-count). Buffer size is bounded by the rows arriving
+      inside one watermark delay per conversation."""
+    if late_policy not in ("error", "drop", "buffer"):
+        raise ValueError(
+            "late_policy must be 'error', 'drop' or 'buffer', "
+            f"got {late_policy!r}"
+        )
 
     def fn(key, pdfs, state):
         return _update(key, pdfs, state, late_policy)
@@ -535,6 +617,14 @@ def streaming_prefix_features(
         "conv_id", "turn_idx", "ts", "role", "tool",
         F.length("text").cast("double").alias("tlen"),
     )
+    timeout = GroupStateTimeout.NoTimeout
+    if late_policy == "buffer":
+        # watermarks require TIMESTAMP (with local tz); transcript logs
+        # are often NTZ — the session runs UTC, so the cast is exact
+        src = src.withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return src.groupBy("conv_id").applyInPandasWithState(
-        fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        fn, OUT_SCHEMA, STATE_SCHEMA, "append", timeout
     )

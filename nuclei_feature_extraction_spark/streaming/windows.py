@@ -48,7 +48,10 @@ STATE_SCHEMA = (
     "tail_us array<long>, tail_tlen array<double>, tail_role array<string>, "
     "pos0 long, base_session long, n_seen long, "
     # out-of-order guard: (ts µs, turn_idx) high-water mark + drop count
-    "last_turn int, n_late long"
+    "last_turn int, n_late long, "
+    # watermarked reorder buffer (late_policy='buffer'); empty otherwise
+    "buf_us array<long>, buf_turn array<long>, buf_role array<string>, "
+    "buf_tlen array<double>"
 )
 
 
@@ -56,46 +59,99 @@ def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
     gap_minutes: float, late_policy: str,
 ) -> Iterator[pd.DataFrame]:
-    from nuclei_feature_extraction_spark.streaming.features import _split_late
+    from nuclei_feature_extraction_spark.streaming.features import (
+        _apply_late_policy,
+        _late_mask,
+    )
 
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    if not len(rows):
-        return
-    rows = rows.sort_values(["ts", "turn_idx"], kind="mergesort")
-    us_new = rows["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    dfs = [p for p in pdfs if len(p)]
+    if dfs:
+        rows = pd.concat(dfs, ignore_index=True)
+        rows = rows.sort_values(["ts", "turn_idx"], kind="mergesort")
+        arr = {
+            "us": rows["ts"].to_numpy(dtype="datetime64[us]")
+            .astype(np.int64),
+            "turn": rows["turn_idx"].to_numpy(dtype=np.int64),
+            "role": rows["role"].to_numpy(dtype=object),
+            "tlen": rows["tlen"].to_numpy(dtype=np.float64),
+        }
+    else:  # timeout invocation (buffer flush) or empty batch
+        arr = {
+            "us": np.empty(0, dtype=np.int64),
+            "turn": np.empty(0, dtype=np.int64),
+            "role": np.empty(0, dtype=object),
+            "tlen": np.empty(0, dtype=np.float64),
+        }
+    buffering = late_policy == "buffer"
 
     n_late = 0
     if state.exists:
         (tail_us, tail_tlen, tail_role, pos0, base_session, n_seen,
-         last_turn, n_late) = state.get
+         last_turn, n_late, buf_us, buf_turn, buf_role,
+         buf_tlen) = state.get
         tail_us = list(tail_us)
         tail_tlen = list(tail_tlen)
         tail_role = list(tail_role)
-        rows, us_new, dropped = _split_late(
-            rows, us_new, tail_us[-1], last_turn, late_policy, key[0]
-        )
-        n_late += dropped
-        if not len(rows):  # whole batch was late duplicates
-            state.update((
-                tail_us, tail_tlen, tail_role, pos0, base_session, n_seen,
-                last_turn, n_late,
-            ))
-            return
+        last_us = tail_us[-1] if tail_us else -(2**63)
+        pend = {
+            "us": np.asarray(buf_us, dtype=np.int64),
+            "turn": np.asarray(buf_turn, dtype=np.int64),
+            "role": np.asarray(buf_role, dtype=object),
+            "tlen": np.asarray(buf_tlen, dtype=np.float64),
+        }
     else:
-        # first batch of the conversation: still route intra-batch
-        # replayed duplicates through the late policy (sentinel mark)
-        rows, us_new, dropped = _split_late(
-            rows, us_new, -(2**63), -1, late_policy, key[0]
-        )
-        n_late = dropped
         tail_us, tail_tlen, tail_role = [], [], []
         pos0, base_session, n_seen = 0, 0, 0
+        last_us, last_turn = -(2**63), -1
+        pend = {
+            "us": np.empty(0, dtype=np.int64),
+            "turn": np.empty(0, dtype=np.int64),
+            "role": np.empty(0, dtype=object),
+            "tlen": np.empty(0, dtype=np.float64),
+        }
 
-    tlen_new = rows["tlen"].to_numpy(dtype=np.float64)
-    role_new = rows["role"].to_numpy()
+    if buffering:
+        # hold rows until the event-time watermark passes them, release
+        # in (ts, turn_idx) order — see streaming/features.py
+        wm_us = max(state.getCurrentWatermarkMs(), 0) * 1000
+        merged = {k: np.concatenate([pend[k], arr[k]]) for k in arr}
+        order = np.lexsort((merged["turn"], merged["us"]))
+        merged = {k: v[order] for k, v in merged.items()}
+        ready = merged["us"] < wm_us
+        pend = {k: v[~ready] for k, v in merged.items()}
+        arr = {k: v[ready] for k, v in merged.items()}
+
+    def _persist(last_turn):
+        state.update((
+            tail_us, tail_tlen, tail_role, int(pos0), int(base_session),
+            int(n_seen), int(last_turn), int(n_late),
+            pend["us"].tolist(), pend["turn"].tolist(),
+            [str(v) for v in pend["role"]], pend["tlen"].tolist(),
+        ))
+        if buffering and len(pend["us"]):
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+
+    if len(arr["us"]):
+        late = _late_mask(arr["us"], arr["turn"], last_us, last_turn)
+        keep, dropped = _apply_late_policy(
+            arr["us"], arr["turn"], late,
+            "drop" if buffering else late_policy,
+            key[0], last_us, last_turn,
+        )
+        if keep is not None:
+            arr = {k: v[keep] for k, v in arr.items()}
+        n_late += dropped
+    if not len(arr["us"]):
+        if state.exists or buffering:
+            _persist(last_turn)
+        return
+
+    us_new = arr["us"]
+    tlen_new = arr["tlen"]
+    role_new = arr["role"]
 
     t = len(tail_us)
-    m = len(rows)
+    m = len(us_new)
     frame = pd.DataFrame(
         {
             "conv_id": key[0],
@@ -115,8 +171,8 @@ def _update(
 
     data = {
         "conv_id": key[0],
-        "turn_idx": rows["turn_idx"].to_numpy(),
-        "ts": rows["ts"].to_numpy(),
+        "turn_idx": arr["turn"].astype(np.int32),
+        "ts": us_new.astype("datetime64[us]"),
         "session_id": sess[t:].astype(np.int32),
     }
     for k in (1, 2, 3):
@@ -132,31 +188,36 @@ def _update(
         [np.array(tail_tlen, dtype=np.float64), tlen_new]
     )
     all_role = np.concatenate([np.array(tail_role, dtype=object), role_new])
-    state.update((
-        [int(v) for v in all_us[cut:]],
-        [float(v) for v in all_tlen[cut:]],
-        [str(v) for v in all_role[cut:]],
-        int(pos0 + cut),
-        int(sess[cut]),  # absolute session id of the new tail's first row
-        int(n_seen + m),
-        int(rows["turn_idx"].iloc[-1]),
-        int(n_late),
-    ))
+    tail_us = [int(v) for v in all_us[cut:]]
+    tail_tlen = [float(v) for v in all_tlen[cut:]]
+    tail_role = [str(v) for v in all_role[cut:]]
+    pos0 = pos0 + cut
+    base_session = int(sess[cut])  # absolute session id of tail's first row
+    n_seen = n_seen + m
+    _persist(int(arr["turn"][-1]))
     yield pd.DataFrame(data)
 
 
 def streaming_window_features(
     stream: DataFrame, gap_minutes: float = 30.0,
     late_policy: str = "error",
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Per-turn window-family features (45 columns) over a live
     transcript stream, state = the last 64 raw rows per conversation.
 
     ``late_policy``: ``'error'`` (default) fails the query on a row at
     or before the conversation's (ts, turn_idx) high-water mark;
-    ``'drop'`` skips such rows (count carried in state)."""
-    if late_policy not in ("error", "drop"):
-        raise ValueError(f"late_policy must be 'error' or 'drop', got {late_policy!r}")
+    ``'drop'`` skips such rows (count carried in state); ``'buffer'``
+    holds rows in state until the event-time watermark
+    (``watermark_delay``) passes them and releases them in (ts,
+    turn_idx) order — batch parity under micro-batches shuffled within
+    the delay (see streaming/features.py)."""
+    if late_policy not in ("error", "drop", "buffer"):
+        raise ValueError(
+            "late_policy must be 'error', 'drop' or 'buffer', "
+            f"got {late_policy!r}"
+        )
 
     def fn(key, pdfs, state):
         return _update(key, pdfs, state, gap_minutes, late_policy)
@@ -165,6 +226,14 @@ def streaming_window_features(
         "conv_id", "turn_idx", "ts", "role",
         F.length("text").cast("double").alias("tlen"),
     )
+    timeout = GroupStateTimeout.NoTimeout
+    if late_policy == "buffer":
+        # watermarks require TIMESTAMP (with local tz); the session runs
+        # UTC, so casting NTZ transcript logs is exact
+        src = src.withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return src.groupBy("conv_id").applyInPandasWithState(
-        fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        fn, OUT_SCHEMA, STATE_SCHEMA, "append", timeout
     )

@@ -87,6 +87,13 @@ def test_curation_end_to_end(spark, curation_docs, tmp_path):
     # fuzzy stage surfaced its LSH audit (no silent caps)
     fz = m["stages"][1]
     assert "lsh_audit" in fz and "n_buckets" in fz["lsh_audit"]
+    # lang filter surfaced the per-language prediction histogram (rides
+    # the scoring pass as observe() metrics) and it telescopes
+    lf = m["stages"][4]
+    assert lf["stage"] == "lang_filter"
+    hist = lf["lang_histogram"]
+    assert sum(hist.values()) == lf["rows_in"]
+    assert hist["en"] == lf["rows_out"]
 
     # curation artifacts present: split label + packing offsets
     assert set(got["split"]) <= {"train", "val", "test"}

