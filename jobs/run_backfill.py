@@ -106,6 +106,14 @@ def main(argv: list[str] | None = None) -> int:
 
         asof_routing = asof_strategy_hint(tr, "conv_id")
 
+    ktimers = None
+    if args.plan == "fused":
+        from nuclei_feature_extraction_spark.plans.fused import (
+            kernel_timing_accumulators,
+        )
+
+        ktimers = kernel_timing_accumulators(spark)
+
     def pipeline(src):
         if args.plan == "fused":
             from nuclei_feature_extraction_spark.plans.fused import (
@@ -118,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
                 side_config=side_config,
                 lags=tuple(args.cooc_lags),
                 levels=tuple(args.cooc_levels),
+                kernel_timers=ktimers,
             )
         return build_features(
             src,
@@ -165,6 +174,13 @@ def main(argv: list[str] | None = None) -> int:
             "manifest_version": manifest["version"],
             "kernel_backend": lineage_mod.kernel_backend(),
         }
+        if ktimers is not None:
+            # cluster-wide CPU-seconds per kernel family (accumulated
+            # over Arrow tasks) — a per-run regression tripwire for the
+            # documented hull/shape share
+            summary["kernel_seconds"] = {
+                f: round(a.value, 3) for f, a in ktimers.items()
+            }
         if asof_routing is not None:
             summary["asof_routing"] = asof_routing
         if args.metrics_out:
@@ -177,6 +193,11 @@ def main(argv: list[str] | None = None) -> int:
         lambda d: write_features(d, args.output, overwrite=args.overwrite),
         audits={"asof_routing": asof_routing} if asof_routing else None,
     )
+    if ktimers is not None:
+        metrics.audits = dict(metrics.audits or {})
+        metrics.audits["kernel_seconds"] = {
+            f: round(a.value, 3) for f, a in ktimers.items()
+        }
     if args.metrics_out:
         metrics.write(args.metrics_out)
     print(json.dumps({"rows": metrics.rows, "wall_seconds": metrics.wall_seconds,

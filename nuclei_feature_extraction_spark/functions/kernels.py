@@ -745,6 +745,7 @@ def compute_features_pdf(
     order_cols: Sequence[str] = ("ts", "turn_idx"),
     passthrough: bool = False,
     assume_sorted: bool = False,
+    timings: dict | None = None,
 ) -> pd.DataFrame:
     """Compute all requested families for a pandas chunk holding WHOLE
     conversations. Returns (conv_id, turn_idx) + feature columns, or —
@@ -758,7 +759,15 @@ def compute_features_pdf(
     before the Arrow pass, so every chunk arrives already ordered — the
     pandas lexsort re-pass (string keys, one take per column) is pure
     overhead there.
+    ``timings``: optional dict that receives per-family elapsed seconds
+    (``{"cooc": s, ...}``, added to existing values) so callers can
+    surface the family share per run instead of per-investigation.
     """
+    import time as _time
+
+    def _mark(key: str, t0: float) -> None:
+        if timings is not None:
+            timings[key] = timings.get(key, 0.0) + (_time.perf_counter() - t0)
     if not assume_sorted:
         pdf = pdf.sort_values([conv_col, *order_cols], kind="mergesort")
     conv, _ = pd.factorize(pdf[conv_col].to_numpy(), sort=False)
@@ -776,13 +785,16 @@ def compute_features_pdf(
     block = np.empty((len(names), n), dtype=np.float64)
     out: dict[str, np.ndarray] = {}
     if "cooc" in families:
+        _t = _time.perf_counter()
         for k in levels:
             xk = discretize_log(tlen, k)
             for d in lags:
                 stats = cooc_prefix(conv, first, xk, d, k)
                 for s, v in stats.items():
                     block[slot[f"cooc_{s}_d{d}_k{k}"]] = v
+        _mark("cooc", _t)
     if "runlen" in families:
+        _t = _time.perf_counter()
         role = (
             pdf["role"].map(ROLE_IDX).fillna(4).to_numpy(dtype=np.int64)
         )
@@ -796,7 +808,9 @@ def compute_features_pdf(
             stats = runlen_prefix(conv, first, arr, RUNLEN_N_LEVELS[sig])
             for s, v in stats.items():
                 block[slot[f"runlen_{s}_{sig}"]] = v
+        _mark("runlen", _t)
     if "xcooc" in families:
+        _t = _time.perf_counter()
         # cross-signal direction: who spoke d turns ago × how long the
         # current turn is (role lag-d against the level-4 tlen stream)
         role_x = pdf["role"].map(ROLE_IDX).fillna(4).to_numpy(dtype=np.int64)
@@ -805,12 +819,15 @@ def compute_features_pdf(
             stats = xcooc_prefix(conv, first, role_x, tlen4_x, d)
             for s, v in stats.items():
                 block[slot[f"xcooc_{s}_d{d}"]] = v
+        _mark("xcooc", _t)
     if "shape" in families:
+        _t = _time.perf_counter()
         ts_s = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64) / 1e9
         t0 = ts_s[np.maximum.accumulate(np.where(first, np.arange(n), 0))]
         stats = shape_prefix(conv, first, ts_s - t0, tlen)
         for s, v in stats.items():
             block[slot[f"shape_{s}"]] = v
+        _mark("shape", _t)
 
     # assemble WITHOUT pd.concat: DataFrame(block.T) stores the (m, n)
     # C-order block as ONE pandas block with zero copy, and per-column

@@ -275,6 +275,21 @@ def _searchsorted_pick(
     return out
 
 
+KERNEL_TIMER_FAMILIES = (
+    "cooc", "runlen", "xcooc", "shape", "window", "sidelookup",
+)
+
+
+def kernel_timing_accumulators(spark) -> dict:
+    """One float Spark accumulator per kernel family. Pass the dict as
+    ``build_features_fused(..., kernel_timers=...)``; after the action,
+    ``{f: acc.value}`` is the cluster-wide CPU-seconds per family (sum
+    over tasks — divide by executor cores for wall share). Lets a run
+    manifest expose e.g. the documented hull/shape share per-run."""
+    sc = spark.sparkContext
+    return {f: sc.accumulator(0.0) for f in KERNEL_TIMER_FAMILIES}
+
+
 def build_features_fused(
     df: DataFrame,
     side_profile: DataFrame | None = None,
@@ -284,6 +299,7 @@ def build_features_fused(
     gap_minutes: float = 30.0,
     num_partitions: int | None = None,
     max_broadcast_side_rows: int = 2_000_000,
+    kernel_timers: dict | None = None,
 ) -> DataFrame:
     """Single-shuffle full feature vector; column-compatible with
     ``build_features(df, ["all"], side_profile, side_config)``.
@@ -295,7 +311,15 @@ def build_features_fused(
     union-window as-of applied AFTER the fused pass: the features
     themselves still take exactly one narrow shuffle; only the as-of
     merge adds its own key-shuffle. The row count is checked with a
-    cheap ``count()`` BEFORE any driver materialization."""
+    cheap ``count()`` BEFORE any driver materialization.
+
+    ``kernel_timers``: optional dict of Spark float accumulators (see
+    :func:`kernel_timing_accumulators`) — each Arrow task adds its
+    per-family kernel seconds (cooc/runlen/xcooc/shape + window +
+    sidelookup), so the run manifest can report the family share of
+    every run instead of leaving regressions to per-investigation
+    profiling. Accumulator updates ride task completion — works
+    identically on a real cluster."""
     spark = df.sparkSession
 
     def _too_big(side: DataFrame) -> bool:
@@ -392,12 +416,19 @@ def build_features_fused(
     )
 
     def process(chunk: pd.DataFrame) -> pd.DataFrame:
+        import time as _time
+
         prof, cfg = bc.value
+        tm: dict | None = {} if kernel_timers is not None else None
         base = compute_features_pdf(
             chunk, ("cooc", "runlen", "xcooc", "shape"), lags, levels,
-            passthrough=True, assume_sorted=True,
+            passthrough=True, assume_sorted=True, timings=tm,
         )
+        _t0 = _time.perf_counter()
         win = _window_features_pdf(base, gap_minutes)
+        if tm is not None:
+            tm["window"] = _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
         # column-wise adoption instead of pd.concat(axis=1): concat
         # consolidates the two frames' float blocks (a full-width
         # memcpy); per-column assignment just appends block refs
@@ -446,6 +477,12 @@ def build_features_fused(
             picked = _searchsorted_pick(cfg[0], cfg[1], ts_us)
             for c, v in picked.items():
                 out[c] = v
+        if tm is not None:
+            tm["sidelookup"] = _time.perf_counter() - _t0
+            for fam, secs in tm.items():
+                acc = kernel_timers.get(fam)
+                if acc is not None:
+                    acc.add(secs)
         return out
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -205,3 +205,30 @@ def test_backfill_fused_plan_flag(spark, tmp_path, tiny_pdf):
     with _pytest.raises(SystemExit, match="FULL feature set"):
         job.main(["--transcripts", src, "--output", out,
                   "--plan", "fused", "--feature-sets", "session"])
+
+
+def test_backfill_fused_kernel_seconds_in_metrics(spark, tmp_path, tiny_pdf):
+    """The fused plan surfaces per-family kernel CPU-seconds (cooc /
+    runlen / xcooc / shape / window / sidelookup accumulators) in the
+    run metrics — a per-run regression tripwire for the documented
+    hull/shape share, instead of per-investigation profiling."""
+    import json as _json
+
+    import jobs.run_backfill as job
+    from nuclei_feature_extraction_spark.plans.fused import (
+        KERNEL_TIMER_FAMILIES,
+    )
+
+    src = str(tmp_path / "tr_kt.parquet")
+    spark.createDataFrame(tiny_pdf).write.parquet(src)
+    out = str(tmp_path / "feat_kt.parquet")
+    mdir = str(tmp_path / "metrics_kt")
+    rc = job.main(["--transcripts", src, "--output", out,
+                   "--plan", "fused", "--metrics-out", mdir])
+    assert rc == 0
+    metrics = _json.load(open(mdir + "/metrics.json"))
+    ks = metrics["audits"]["kernel_seconds"]
+    assert set(ks) == set(KERNEL_TIMER_FAMILIES)
+    # every family actually executed on this fixture: elapsed > 0
+    for fam in ("cooc", "runlen", "xcooc", "shape", "window"):
+        assert ks[fam] > 0.0, fam
