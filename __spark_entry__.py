@@ -832,7 +832,8 @@ def _events_as_role_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _replay_stream(
-    spark: SparkSession, tr: DataFrame, op, prefix: str, split=None
+    spark: SparkSession, tr: DataFrame, op, prefix: str, split=None,
+    flush_sentinels: int = 0,
 ):
     """Deterministic 2-micro-batch replay harness for the streaming gate
     queries: write the transcript rows as two parquet files split at the
@@ -844,8 +845,17 @@ def _replay_stream(
     ``split``: optional ``pdf -> boolean mask`` choosing each row's file
     (True → p0, the FIRST micro-batch) — the late-row gate query uses it
     to put each conversation's LATER half in batch 0 so batch 1 arrives
-    entirely behind the high-water mark."""
+    entirely behind the high-water mark.
+
+    ``flush_sentinels``: push N far-future single-row micro-batches
+    (conv_id ``~flush``) after the real files — each advances the
+    event-time watermark and fires the stateful operators' timeouts, so
+    a ``late_policy='buffer'`` query releases everything it is holding.
+    Sentinel rows never join back (no such conv in ``tr``)."""
     import tempfile
+
+    import numpy as np
+    import pandas as pd
 
     pdf = tr.toPandas().sort_values(["conv_id", "ts", "turn_idx"])
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't scan NANOS
@@ -883,6 +893,22 @@ def _replay_stream(
     )
     try:
         q.processAllAvailable()
+        far = pdf["ts"].max()
+        for i in range(flush_sentinels):
+            sent = pdf.iloc[:1].copy()
+            sent["conv_id"] = "~flush"
+            sent["turn_idx"] = np.array([i], dtype=pdf["turn_idx"].dtype)
+            if "tool" in sent.columns:
+                sent["tool"] = pd.Series(
+                    ["flush"], index=sent.index, dtype="string"
+                )
+            sent["ts"] = pd.Series(
+                [far + pd.Timedelta(days=30 * (i + 1))], index=sent.index
+            ).astype("datetime64[us]")
+            sent[cols].to_parquet(
+                os.path.join(src, f"sentinel{i}.parquet"), index=False
+            )
+            q.processAllAvailable()
     finally:
         q.stop()
     out = spark.sql(f"SELECT * FROM {qname}")
@@ -970,18 +996,48 @@ def q_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tr = _events_as_role_transcripts(spark, sf_dir)
-
-    def later_half_first(pdf):
-        cc = pdf.groupby("conv_id").cumcount()
-        size = pdf.groupby("conv_id")["turn_idx"].transform("size")
-        return (cc >= size // 2).to_numpy()
-
     keyed = _replay_stream(
         spark,
         tr,
         lambda s: streaming_prefix_features(s, late_policy="drop"),
         "slatedrop",
-        split=later_half_first,
+        split=_later_half_first,
+    )
+    return _streaming_prefix_gate_select(keyed)
+
+
+def _later_half_first(pdf):
+    """Out-of-order replay mask: each conversation's LATER half goes to
+    micro-batch 0, so every batch-1 row arrives behind the state
+    high-water mark (shared by the late-drop and buffer gate queries)."""
+    cc = pdf.groupby("conv_id").cumcount()
+    size = pdf.groupby("conv_id")["turn_idx"].transform("size")
+    return (cc >= size // 2).to_numpy()
+
+
+def q_streaming_late_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked reorder buffer (``late_policy='buffer'``) through
+    the driver gate: the SAME out-of-order replay as streaming_late_drop
+    (later half first), but instead of dropping the late rows the
+    operator holds them in state until the event-time watermark passes,
+    then merges them in (ts, turn_idx) order — so the output over ALL
+    rows must be bit-identical to the in-order batch run, and the oracle
+    is exactly streaming_prefix's full-data DuckDB SQL. Two far-future
+    sentinel pushes advance the watermark to flush the held state."""
+    from nuclei_feature_extraction_spark.streaming.features import (
+        streaming_prefix_features,
+    )
+
+    tr = _events_as_role_transcripts(spark, sf_dir)
+    keyed = _replay_stream(
+        spark,
+        tr,
+        lambda s: streaming_prefix_features(
+            s, late_policy="buffer", watermark_delay="7 days"
+        ),
+        "slatebuf",
+        split=_later_half_first,
+        flush_sentinels=2,
     )
     return _streaming_prefix_gate_select(keyed)
 
@@ -1178,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_prefix": q_streaming_prefix,
         "streaming_windows": q_streaming_windows,
         "streaming_late_drop": q_streaming_late_drop,
+        "streaming_late_buffer": q_streaming_late_buffer,
         "lag_gap": q_lag_gap,
         "rolling": q_rolling,
         "rolling_range": q_rolling_range,
@@ -1851,6 +1908,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({_on_accepted(d["prefix_xcooc"])}) x ON x.event_id = c.event_id
         JOIN ({_on_accepted(d["prefix_runlen"])}) r ON r.event_id = c.event_id
     """
+    # buffer replay: the reorder buffer restores full batch parity under
+    # the same out-of-order split, so the oracle is streaming_prefix's
+    # full-data SQL verbatim — one truth for in-order, buffered, batch
+    d["streaming_late_buffer"] = d["streaming_prefix"]
     d["streaming_windows"] = """
         WITH tr AS (
           SELECT event_id, user_id, ts,
