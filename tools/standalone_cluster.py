@@ -68,6 +68,12 @@ def launch_cluster(log_dir: str) -> list[subprocess.Popen]:
         PYSPARK_PYTHON=sys.executable,
         SPARK_LOCAL_IP="127.0.0.1",
         SPARK_NO_DAEMONIZE="1",
+        # the worker builds executor commands via the launcher library,
+        # which resolves the scala suffix from SPARK_SCALA_VERSION or a
+        # source-tree layout; a direct-java launch (no load-spark-env.sh)
+        # must pin it or executor launch dies with "Cannot find any
+        # build directories"
+        SPARK_SCALA_VERSION="2.13",
     )
     procs = []
     cp = _jars_cp()
@@ -123,10 +129,20 @@ def standalone_bench(scale: str = "bench") -> dict:
         spark.sparkContext.addPyFile(zip_path)
         d = fixtures_dir(scale)
         n = spark.read.parquet(f"{d}/transcripts.parquet").count()
-        execs = [
-            e for e in spark.sparkContext.statusTracker().getExecutorInfos()
-            if e.executorId() != "driver"
-        ]
+        # PySpark's StatusTracker has no executor listing — the master's
+        # REST JSON is the ground truth for worker/executor placement
+        import urllib.request
+
+        minfo = json.loads(
+            urllib.request.urlopen(
+                "http://127.0.0.1:8580/json/", timeout=10
+            ).read()
+        )
+        workers = [w for w in minfo.get("workers", []) if w["state"] == "ALIVE"]
+        # block-manager registrations: driver + one entry per executor
+        n_block_managers = (
+            spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+        )
         _force(transcript_pipeline(spark, d).limit(20_000))  # warmup
         t0 = time.perf_counter()
         _force(transcript_pipeline(spark, d))
@@ -136,8 +152,13 @@ def standalone_bench(scale: str = "bench") -> dict:
         result = {
             "mode": "standalone",
             "master": f"spark://127.0.0.1:{MASTER_PORT}",
-            "executors": len(execs),
-            "executor_hosts": sorted({e.host() for e in execs}),
+            "workers_alive": len(workers),
+            "worker_addresses": sorted(
+                f"{w['host']}:{w['port']}" for w in workers
+            ),
+            "worker_cores_used": sum(w["coresused"] for w in workers),
+            "executors": max(n_block_managers - 1, 0),
+            "default_parallelism": spark.sparkContext.defaultParallelism,
             "worker_cores": WORKER_CORES,
             "scale": scale,
             "rows": n,
