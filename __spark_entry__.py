@@ -1058,6 +1058,12 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr = _events_as_role_transcripts(spark, sf_dir).drop("tool")
     keyed = _replay_stream(spark, tr, streaming_window_features, "swin")
+    return _streaming_windows_gate_select(keyed)
+
+
+def _streaming_windows_gate_select(keyed: DataFrame) -> DataFrame:
+    """The exact-accumulator column set the streaming window gate
+    queries expose (shared by the in-order and buffered replays)."""
     float_cols = [
         "tlen_lag1", "tlen_lag2", "tlen_lag3",
         "tlen_r20_mean", "tlen_r20_std", "tlen_r20_min", "tlen_r20_max",
@@ -1072,6 +1078,32 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in float_cols
         ],
     )
+
+
+def q_streaming_windows_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-stack twin of streaming_late_buffer: out-of-order
+    replay (later half first) under ``late_policy='buffer'`` — the
+    watermarked reorder buffer must restore exact batch parity for the
+    sessionize/lag/rolling/masked stack too (session boundaries and lag
+    chains are order-SENSITIVE, so any row accepted out of order breaks
+    the session_id/lag hash). Oracle = streaming_windows' full-data SQL
+    verbatim."""
+    from nuclei_feature_extraction_spark.streaming.windows import (
+        streaming_window_features,
+    )
+
+    tr = _events_as_role_transcripts(spark, sf_dir).drop("tool")
+    keyed = _replay_stream(
+        spark,
+        tr,
+        lambda s: streaming_window_features(
+            s, late_policy="buffer", watermark_delay="7 days"
+        ),
+        "swinbuf",
+        split=_later_half_first,
+        flush_sentinels=2,
+    )
+    return _streaming_windows_gate_select(keyed)
 
 
 # ------------------------- dedup/similarity: exact-verified emissions
@@ -1233,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_prefix": q_streaming_prefix,
         "streaming_windows": q_streaming_windows,
+        "streaming_windows_buffer": q_streaming_windows_buffer,
         "streaming_late_drop": q_streaming_late_drop,
         "streaming_late_buffer": q_streaming_late_buffer,
         "lag_gap": q_lag_gap,
@@ -1969,4 +2002,7 @@ def oracle_sql() -> dict[str, str]:
             0.0)) END, 6) + 0.0 AS tlen_asst_r20_std
         FROM l
     """
+    # buffered window replay restores full batch parity (same reorder
+    # buffer as streaming_late_buffer) — one oracle, one truth
+    d["streaming_windows_buffer"] = d["streaming_windows"]
     return d
