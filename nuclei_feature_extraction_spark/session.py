@@ -52,11 +52,18 @@ def get_spark(
     if master is None:
         master = f"local[{cores}]"
     if shuffle_partitions is None:
-        # match parallelism declared in the master URL when given
+        # 4× the core count, not 1×: with partitions == cores every
+        # stage is straggler-bound (one slow/skewed partition stalls
+        # all cores, and AQE can coalesce but never split a too-coarse
+        # start) and per-task working sets blow the cache. Measured on
+        # the 4.2M-doc fuzzy-dedup chain, 8→32 partitions at local[8]
+        # cut the wall 94-160 s → 62-78 s, and 2→8 partitions at
+        # local[2] cut 295 s → 186 s. AQE coalesces the excess on
+        # small stages, so the only cost is scheduler overhead.
         if master.startswith("local[") and master[6:-1].isdigit():
-            shuffle_partitions = int(master[6:-1])
+            shuffle_partitions = 4 * int(master[6:-1])
         else:
-            shuffle_partitions = cores
+            shuffle_partitions = 4 * cores
 
     builder = (
         SparkSession.builder.master(master)
