@@ -58,7 +58,7 @@ def main() -> None:
     fixture_scale = os.environ.get("NFX_BENCH_SCALE", "bench")
     fixture_dir = fixtures_dir(fixture_scale)
 
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=4 * cpus,
                       app_name="nfx-bench")
 
     import __spark_entry__ as entrymod

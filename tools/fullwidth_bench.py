@@ -34,7 +34,7 @@ from bench import _force
 import os
 
 cpus = int(sys.argv[1]); scale = sys.argv[2]; passes = int(sys.argv[3])
-spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus,
+spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=4 * cpus,
                   app_name=f"nfx-fullwidth-{{cpus}}")
 d = fixtures_dir(scale)
 tr = spark.read.parquet(f"{{d}}/transcripts.parquet")

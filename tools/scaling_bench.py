@@ -38,7 +38,7 @@ from bench import transcript_pipeline, _force
 
 cpus = int(sys.argv[1]); scale = sys.argv[2]; npasses = int(sys.argv[3])
 master = sys.argv[4] if len(sys.argv) > 4 else f"local[{{cpus}}]"
-spark = get_spark(master=master, shuffle_partitions=cpus,
+spark = get_spark(master=master, shuffle_partitions=4 * cpus,
                   app_name=f"nfx-scaling-{{cpus}}")
 d = fixtures_dir(scale)
 n = spark.read.parquet(f"{{d}}/transcripts.parquet").count()

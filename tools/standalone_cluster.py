@@ -116,7 +116,7 @@ def standalone_bench(scale: str = "bench") -> dict:
         os.environ["PYSPARK_PYTHON"] = sys.executable
         spark = get_spark(
             master=f"spark://127.0.0.1:{MASTER_PORT}",
-            shuffle_partitions=N_WORKERS * WORKER_CORES,
+            shuffle_partitions=4 * N_WORKERS * WORKER_CORES,
             app_name="nfx-standalone",
             extra_conf={
                 "spark.executor.cores": str(WORKER_CORES),
