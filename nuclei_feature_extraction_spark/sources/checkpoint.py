@@ -10,8 +10,11 @@ conversations:
 - buckets are written in groups (one Spark job per group, pruned by a
   pushed-down bucket filter);
 - a manifest (``_manifest.json``, written atomically via rename) records
-  completed buckets + per-bucket row counts and wall time — the
-  Iceberg-snapshot emulation (snapshot id ≈ manifest version);
+  completed buckets + per-bucket row counts, wall time and the manifest
+  version at which each bucket became visible — the Iceberg-snapshot
+  emulation (snapshot id ≈ manifest version), including TIME-TRAVEL
+  reads (``read_snapshot``) and a snapshot-history listing
+  (``snapshots``), sound because committed buckets are append-only;
 - ``run()`` after a crash skips completed buckets (anti-join by bucket
   id at the partition-pruning level, not row level).
 
@@ -130,12 +133,14 @@ class CheckpointedWriter:
                 )
             rows_by_bucket = self._written_counts(part.sparkSession, group)
             dt = round(time.perf_counter() - t0, 3)
+            new_version = manifest["version"] + 1
             for b in group:
                 manifest["completed"][str(b)] = {
                     "rows": int(rows_by_bucket.get(b, 0)),
                     "wall_seconds": dt,
+                    "version_completed": new_version,
                 }
-            manifest["version"] += 1
+            manifest["version"] = new_version
             self._save_manifest(manifest)
             jobs += 1
         return manifest
@@ -173,12 +178,14 @@ class CheckpointedWriter:
                 )
             rows_by_bucket = self._written_counts(feats.sparkSession, group)
             dt = round(time.perf_counter() - t0, 3)
+            new_version = manifest["version"] + 1
             for b in group:
                 manifest["completed"][str(b)] = {
                     "rows": int(rows_by_bucket.get(b, 0)),
                     "wall_seconds": dt,
+                    "version_completed": new_version,
                 }
-            manifest["version"] += 1
+            manifest["version"] = new_version
             self._save_manifest(manifest)
             jobs += 1
         return manifest
@@ -198,3 +205,45 @@ class CheckpointedWriter:
 
     def read_back(self, spark) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, "data"))
+
+    # ------------------------------------------------- snapshot reads
+
+    def snapshots(self) -> list[dict]:
+        """The table's snapshot history: one entry per manifest version
+        at which buckets became visible, with cumulative bucket/row
+        counts — the Iceberg ``snapshots`` metadata-table analog."""
+        manifest = self.load_manifest()
+        by_version: dict[int, list[dict]] = {}
+        for info in manifest["completed"].values():
+            by_version.setdefault(
+                int(info.get("version_completed", 0)), []
+            ).append(info)
+        out, buckets, rows = [], 0, 0
+        for v in sorted(by_version):
+            buckets += len(by_version[v])
+            rows += sum(int(i["rows"]) for i in by_version[v])
+            out.append({"version": v, "buckets": buckets, "rows": rows})
+        return out
+
+    def read_snapshot(self, spark, version: int) -> DataFrame:
+        """TIME-TRAVEL read: the table exactly as of manifest
+        ``version`` — only buckets whose completion was committed at or
+        before that version are visible.
+
+        Sound because completed buckets are APPEND-ONLY: ``run`` /
+        ``run_pipeline`` skip buckets already in the manifest, and the
+        only rewrite (dynamic-partition-overwrite crash retry) targets
+        buckets that were NOT yet committed — i.e. visible in no
+        snapshot — so every snapshot's underlying files are immutable.
+        Old manifests without ``version_completed`` degrade gracefully:
+        their buckets count as version 0 (visible in every snapshot).
+        The bucket filter prunes at the partition level (PartitionFilters
+        — no data files of excluded buckets are read)."""
+        manifest = self.load_manifest()
+        visible = [
+            int(b)
+            for b, info in manifest["completed"].items()
+            if int(info.get("version_completed", 0)) <= version
+        ]
+        df = self.read_back(spark)
+        return df.filter(F.col("bucket").isin(visible))

@@ -31,6 +31,47 @@ def test_checkpoint_resume_after_injected_crash(spark, tiny_df, tmp_path):
     assert total_manifest_rows == tiny_df.count()
 
 
+def test_checkpoint_snapshot_time_travel(spark, tiny_df, tmp_path):
+    """Iceberg-style time travel: read_snapshot(v) sees exactly the
+    buckets committed at manifest versions <= v, snapshots() lists the
+    cumulative history, and a crash-resumed table's earlier snapshots
+    stay byte-stable (committed buckets are append-only)."""
+    out = str(tmp_path / "ckpt_tt")
+    w = CheckpointedWriter(out, n_buckets=8, buckets_per_job=2)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        w.run(tiny_df, fail_after_jobs=2)  # versions 1 and 2 committed
+    v2_rows = w.read_back(spark).count()
+    snap_v2 = (
+        w.read_snapshot(spark, 2).select("conv_id", "turn_idx").toPandas()
+    )
+    w.run(tiny_df)  # resume -> versions 3 and 4
+    m = w.load_manifest()
+    assert m["version"] == 4
+    hist = w.snapshots()
+    assert [s["version"] for s in hist] == [1, 2, 3, 4]
+    assert [s["buckets"] for s in hist] == [2, 4, 6, 8]
+    assert hist[-1]["rows"] == tiny_df.count()
+    # v2 snapshot unchanged by the resume (append-only invariant)
+    assert w.read_snapshot(spark, 2).count() == v2_rows == len(snap_v2)
+    after = (
+        w.read_snapshot(spark, 2).select("conv_id", "turn_idx").toPandas()
+    )
+    key = ["conv_id", "turn_idx"]
+    assert (
+        after.sort_values(key).reset_index(drop=True).equals(
+            snap_v2.sort_values(key).reset_index(drop=True)
+        )
+    )
+    # snapshot monotonicity + endpoints
+    assert w.read_snapshot(spark, 0).count() == 0
+    c1 = w.read_snapshot(spark, 1).count()
+    assert 0 < c1 < v2_rows
+    assert w.read_snapshot(spark, 4).count() == tiny_df.count()
+    # excluded buckets are pruned at the PARTITION level, not row-filtered
+    plan = w.read_snapshot(spark, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
 def test_checkpoint_noop_when_all_done(spark, tiny_df, tmp_path):
     out = str(tmp_path / "ckpt2")
     w = CheckpointedWriter(out, n_buckets=4, buckets_per_job=4)
