@@ -117,16 +117,39 @@ _WORDS = {
 
 _ACCENTS = "".join(sorted(set("àâäáçèéêëîïíñóôöòùûüúßœæÿ")))
 _ALPHA = " " + "abcdefghijklmnopqrstuvwxyz" + _ACCENTS
-# identical regex in Python re / Java (Spark) / RE2 (DuckDB): a literal
-# character class, negated — collapse every non-alphabet run to one space
-_NORM_RE_SRC = f"[^{_ALPHA[1:]} ]+"
+# uppercase counterparts with an unambiguous 1:1 lowercase mapping that
+# every engine (Python str.lower, Spark's Locale.ROOT lower, DuckDB's
+# utf8proc lower) agrees on. 'ß' has no 1-char uppercase ('SS'); its
+# capital form ẞ (U+1E9E) lowers to ß in all three, so it is added
+# explicitly.
+_UPPER = "".join(
+    sorted(
+        {
+            c.upper()
+            for c in _ALPHA[1:]
+            if len(c.upper()) == 1 and c.upper().lower() == c
+        }
+        | {"ẞ"}
+    )
+)
+# PRE-STRIP BEFORE lower(): collapse every run outside the case-extended
+# known alphabet to one space, THEN lowercase. lower() only ever sees
+# characters whose lowercase mapping is identical across Python re /
+# Java (Spark) / RE2 (DuckDB) — so cross-backend bit-parity holds BY
+# CONSTRUCTION for arbitrary input (Turkish dotted I, ligatures,
+# combining marks are stripped identically everywhere instead of
+# depending on three engines' case-folding corner cases). The regex is
+# a literal negated character class, identical in all three engines.
+_NORM_RE_SRC = f"[^{_ALPHA[1:]}{_UPPER} ]+"
 _NORM_RE = re.compile(_NORM_RE_SRC)
 
 
 def _normalize(text: str) -> str:
-    """lower → collapse non-alphabet runs to ' ' → trim → pad with the
-    word-boundary marker. EVERY backend reproduces this exactly."""
-    return " " + _NORM_RE.sub(" ", text.lower()).strip() + " "
+    """collapse non-alphabet runs to ' ' → lower → trim → pad with the
+    word-boundary marker. EVERY backend reproduces this exactly (see
+    ``_NORM_RE_SRC``: strip precedes lower, so lower() never sees a
+    codepoint with an engine-dependent case mapping)."""
+    return " " + _NORM_RE.sub(" ", text).lower().strip() + " "
 
 
 @lru_cache(maxsize=1)
@@ -262,8 +285,8 @@ def _with_expr_lang_cols(
     out = df.withColumn(
         s,
         F.expr(
-            f"concat(' ', trim(regexp_replace(lower({text_col}), "
-            f"'{_NORM_RE_SRC}', ' ')), ' ')"
+            f"concat(' ', trim(lower(regexp_replace({text_col}, "
+            f"'{_NORM_RE_SRC}', ' '))), ' ')"
         ),
     ).withColumn(
         bgs,
@@ -374,8 +397,8 @@ def oracle_fragments(table: str = "documents", text_col: str = "text",
     return f"""
         WITH __lid_norm AS (
           SELECT {id_col},
-                 ' ' || trim(regexp_replace(lower({text_col}),
-                             '{_NORM_RE_SRC}', ' ', 'g')) || ' ' AS s
+                 ' ' || trim(lower(regexp_replace({text_col},
+                             '{_NORM_RE_SRC}', ' ', 'g'))) || ' ' AS s
           FROM {table}
         ), __lid_g AS (
           SELECT {id_col}, len(s) - 1 AS n,

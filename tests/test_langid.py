@@ -63,6 +63,41 @@ def test_planted_multilingual_accuracy():
     assert overall >= 0.97, report
 
 
+def test_holdout_prose_accuracy():
+    """HELD-OUT evaluation (VERDICT r6 ask #2): original prose sentences
+    whose content words are NOT drawn from ``_WORDS`` (see
+    ``tests/langid_holdout.py``) — the model must generalize through
+    character-bigram statistics, not vocabulary memorization. The
+    planted-corpus test above is in-sample by construction; THIS number
+    is the accuracy claim PARITY.md records."""
+    from langid_holdout import HOLDOUT
+
+    rows = [(lg, s) for lg, ss in HOLDOUT.items() for s in ss]
+    pdf = pd.DataFrame(rows, columns=["lang", "text"])
+    pdf["pred"] = _score_batch(pdf["text"])["lang_pred"].to_numpy()
+    report = {}
+    confusion = {}
+    for lang in (*LANGS, "unknown"):
+        sub = pdf[pdf["lang"] == lang]
+        report[lang] = float((sub["pred"] == lang).mean())
+        confusion[lang] = sub["pred"].value_counts().to_dict()
+    report["overall"] = float((pdf["pred"] == pdf["lang"]).mean())
+    print(f"langid HELD-OUT accuracy: {report}")
+    print(f"langid HELD-OUT confusion: {confusion}")
+    for lang in LANGS:
+        assert report[lang] >= 0.9, (report, confusion)
+    # non-Latin scripts normalize to near-empty gram streams -> unknown
+    # by design; the only tolerated 'unknown' miss is noise composed of
+    # in-alphabet letters (hex strings), which no bigram model can
+    # reject — assert the script-based rows individually
+    for t, p in zip(pdf[pdf["lang"] == "unknown"]["text"],
+                    pdf[pdf["lang"] == "unknown"]["pred"]):
+        if not any(c.isascii() and c.isalpha() for c in t):
+            assert p == "unknown", (t, p)
+    assert report["unknown"] >= 0.8, confusion
+    assert report["overall"] >= 0.9, report
+
+
 def test_backends_bit_identical(spark):
     pdf = _planted_corpus(n_per_lang=40, seed=31)
     df = spark.createDataFrame(pdf[["doc_id", "text"]])
