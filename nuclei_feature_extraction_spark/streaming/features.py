@@ -95,7 +95,11 @@ STATE_SCHEMA = (
     # ((ts µs, turn_idx) of the last accepted row) + dropped-row count
     + ", last_us long, last_turn int, n_late long"
     # watermarked reorder buffer (late_policy='buffer'): rows held until
-    # the event-time watermark passes them; empty under other policies
+    # the event-time watermark passes them; empty under other policies.
+    # CHECKPOINT COMPATIBILITY: these fields were added in round 6 — a
+    # streaming query CANNOT restart from a checkpoint written before
+    # them (Spark's state-store schema check fails); start a fresh
+    # checkpoint dir after upgrading
     + ", buf_us array<long>, buf_turn array<long>, buf_rolei array<long>"
     + ", buf_htool array<long>, buf_tlen array<double>"
 )
@@ -380,6 +384,42 @@ def _runlen_advance(st: list, hist: dict, v: int, g: int) -> None:
     st[15] += extw * long_d                        # lrege
 
 
+class _MaxAccumulatorParam:
+    """max-fold accumulator (peak gauges). Declared duck-typed (zero /
+    addInPlace) — pyspark's AccumulatorParam is just this protocol."""
+
+    def zero(self, value):
+        return value
+
+    def addInPlace(self, a, b):
+        return a if a >= b else b
+
+
+def streaming_state_metrics(spark) -> dict:
+    """Observable late/buffer state metrics for the stateful streaming
+    operators (VERDICT r6 ask #4): pass the dict as
+    ``streaming_prefix_features(..., state_metrics=...)`` (same for the
+    window stack). After each micro-batch:
+
+    - ``n_late``         (sum): rows dropped past the high-water mark /
+      reorder horizon — the state-internal counter, now visible without
+      reading state.
+    - ``buffer_peak_depth`` (max): the deepest per-conversation pending
+      reorder buffer seen so far — an unbounded buffer under a
+      misconfigured watermark shows up HERE instead of as silent
+      executor memory growth.
+
+    AT-LEAST-ONCE: accumulators update inside the stateful
+    transformation, so task retries can double-count ``n_late`` (the
+    max-fold peak is retry-stable). Tripwire numbers, not exact meters —
+    the state-carried ``n_late`` stays the exactly-once ledger."""
+    sc = spark.sparkContext
+    return {
+        "n_late": sc.accumulator(0),
+        "buffer_peak_depth": sc.accumulator(0, _MaxAccumulatorParam()),
+    }
+
+
 # column order of the state-carried row buffer (late_policy='buffer')
 _BUF_DTYPES = (
     ("us", np.int64), ("turn", np.int64), ("rolei", np.int64),
@@ -407,7 +447,7 @@ def _take(arr: dict[str, np.ndarray], mask) -> dict[str, np.ndarray]:
 
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
-    late_policy: str = "error",
+    late_policy: str = "error", metrics: dict | None = None,
 ) -> Iterator[pd.DataFrame]:
     dfs = [p for p in pdfs if len(p)]
     if dfs:
@@ -432,8 +472,18 @@ def _update(
             sc, hl, hc = got[18 + 3 * si : 18 + 3 * si + 3]
             rl_states.append(list(sc))
             rl_hists.append(dict(zip(hl, hc)))
+        # buf_* fields are buffer-era (STATE_SCHEMA grew in round 6):
+        # pre-buffer checkpoints are NOT restart-compatible (Spark's
+        # state-store schema check rejects them up front); this guard
+        # covers validation-disabled deployments / null arrays by
+        # degrading missing buffer fields to an empty buffer
         pend = {
-            k: np.asarray(got[base + 3 + i], dtype=dt)
+            k: np.asarray(
+                got[base + 3 + i]
+                if len(got) > base + 3 + i and got[base + 3 + i] is not None
+                else (),
+                dtype=dt,
+            )
             for i, (k, dt) in enumerate(_BUF_DTYPES)
         }
     else:
@@ -489,6 +539,8 @@ def _update(
         if buffering and len(pend["us"]):
             # flush the remainder as soon as the watermark next advances
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if metrics is not None and buffering:
+            metrics["buffer_peak_depth"].add(int(len(pend["us"])))
 
     if len(arr["us"]):
         late = _late_mask(arr["us"], arr["turn"], last_us, last_turn)
@@ -500,6 +552,8 @@ def _update(
         if keep is not None:
             arr = _take(arr, keep)
         n_late += dropped
+        if metrics is not None and dropped:
+            metrics["n_late"].add(int(dropped))
     if not len(arr["us"]):
         if state.exists or buffering:
             _persist()
@@ -586,6 +640,7 @@ def streaming_prefix_features(
     stream: DataFrame,
     late_policy: str = "error",
     watermark_delay: str = "0 seconds",
+    state_metrics: dict | None = None,
 ) -> DataFrame:
     """Per-turn co-occurrence (lag 1, K=4) + shape prefix features over
     a live transcript stream, state-incremental per conversation.
@@ -603,7 +658,12 @@ def streaming_prefix_features(
       output (event-time-timeout flushes quiesced conversations as the
       watermark advances; rows late beyond even the watermark fall back
       to drop-with-count). Buffer size is bounded by the rows arriving
-      inside one watermark delay per conversation."""
+      inside one watermark delay per conversation.
+
+    ``state_metrics``: optional dict from
+    :func:`streaming_state_metrics` — per-micro-batch drop counts and
+    peak pending-buffer depth become driver-observable accumulators
+    (at-least-once; see that function's docstring)."""
     if late_policy not in ("error", "drop", "buffer"):
         raise ValueError(
             "late_policy must be 'error', 'drop' or 'buffer', "
@@ -611,7 +671,7 @@ def streaming_prefix_features(
         )
 
     def fn(key, pdfs, state):
-        return _update(key, pdfs, state, late_policy)
+        return _update(key, pdfs, state, late_policy, state_metrics)
 
     src = stream.select(
         "conv_id", "turn_idx", "ts", "role", "tool",

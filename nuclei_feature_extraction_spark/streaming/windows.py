@@ -57,7 +57,7 @@ STATE_SCHEMA = (
 
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
-    gap_minutes: float, late_policy: str,
+    gap_minutes: float, late_policy: str, metrics: dict | None = None,
 ) -> Iterator[pd.DataFrame]:
     from nuclei_feature_extraction_spark.streaming.features import (
         _apply_late_policy,
@@ -86,9 +86,18 @@ def _update(
 
     n_late = 0
     if state.exists:
+        got = state.get
         (tail_us, tail_tlen, tail_role, pos0, base_session, n_seen,
-         last_turn, n_late, buf_us, buf_turn, buf_role,
-         buf_tlen) = state.get
+         last_turn, n_late) = got[:8]
+        # buf_* fields are buffer-era (STATE_SCHEMA grew in round 6):
+        # checkpoints written before them are NOT restart-compatible —
+        # Spark's state-store schema check rejects the restart up front.
+        # This guard covers validation-disabled deployments / null
+        # arrays: missing buffer fields degrade to an empty buffer
+        # instead of an unpack crash.
+        bufv = [v if v is not None else () for v in got[8:12]]
+        bufv += [()] * (4 - len(bufv))
+        buf_us, buf_turn, buf_role, buf_tlen = bufv
         tail_us = list(tail_us)
         tail_tlen = list(tail_tlen)
         tail_role = list(tail_role)
@@ -130,6 +139,8 @@ def _update(
         ))
         if buffering and len(pend["us"]):
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if metrics is not None and buffering:
+            metrics["buffer_peak_depth"].add(int(len(pend["us"])))
 
     if len(arr["us"]):
         late = _late_mask(arr["us"], arr["turn"], last_us, last_turn)
@@ -141,6 +152,8 @@ def _update(
         if keep is not None:
             arr = {k: v[keep] for k, v in arr.items()}
         n_late += dropped
+        if metrics is not None and dropped:
+            metrics["n_late"].add(int(dropped))
     if not len(arr["us"]):
         if state.exists or buffering:
             _persist(last_turn)
@@ -202,6 +215,7 @@ def streaming_window_features(
     stream: DataFrame, gap_minutes: float = 30.0,
     late_policy: str = "error",
     watermark_delay: str = "0 seconds",
+    state_metrics: dict | None = None,
 ) -> DataFrame:
     """Per-turn window-family features (45 columns) over a live
     transcript stream, state = the last 64 raw rows per conversation.
@@ -212,7 +226,10 @@ def streaming_window_features(
     holds rows in state until the event-time watermark
     (``watermark_delay``) passes them and releases them in (ts,
     turn_idx) order — batch parity under micro-batches shuffled within
-    the delay (see streaming/features.py)."""
+    the delay (see streaming/features.py). ``state_metrics``: optional
+    dict from ``streaming.features.streaming_state_metrics`` — drop
+    count + peak pending-buffer depth as driver-observable accumulators
+    (at-least-once)."""
     if late_policy not in ("error", "drop", "buffer"):
         raise ValueError(
             "late_policy must be 'error', 'drop' or 'buffer', "
@@ -220,7 +237,8 @@ def streaming_window_features(
         )
 
     def fn(key, pdfs, state):
-        return _update(key, pdfs, state, gap_minutes, late_policy)
+        return _update(key, pdfs, state, gap_minutes, late_policy,
+                       state_metrics)
 
     src = stream.select(
         "conv_id", "turn_idx", "ts", "role",
