@@ -107,16 +107,30 @@ def main(argv: list[str] | None = None) -> int:
     stages: list[dict] = []
     rows_in = df.count()
 
+    from nuclei_feature_extraction_spark.lineage import (
+        executor_stage_totals,
+        stage_metrics_delta,
+    )
+
     stage_t0 = [time.perf_counter()]
+    stage_snap = [executor_stage_totals(spark)]
 
     def record(stage: str, rows_before: int, rows_after: int, **extra):
         now = time.perf_counter()
+        # per-stage executor attribution (core-seconds, CPU-seconds,
+        # shuffle MB, spill MB): the AppStatusStore delta since the
+        # previous stage boundary — makes "which stage burns the extra
+        # core-seconds at higher parallelism" a manifest field instead
+        # of a prose hypothesis (VERDICT r6 ask #3)
+        snap = executor_stage_totals(spark)
         stages.append(
             {"stage": stage, "rows_in": rows_before, "rows_out": rows_after,
              "dropped": rows_before - rows_after,
-             "wall_seconds": round(now - stage_t0[0], 3), **extra}
+             "wall_seconds": round(now - stage_t0[0], 3),
+             "executor": stage_metrics_delta(stage_snap[0], snap), **extra}
         )
         stage_t0[0] = now
+        stage_snap[0] = snap
 
     # each stage boundary persists its survivor frame before counting and
     # releases the predecessor: the per-stage .count() then executes only
@@ -258,8 +272,19 @@ def main(argv: list[str] | None = None) -> int:
             lang.filter(F.col("lang_pred").isin(args.langs)).select(idc),
             idc, "inner",
         ))
+        # bounded + empty-row safe: on an empty corpus AQE can drop the
+        # CollectMetrics node (same wrinkle harvest_lsh_audit guards),
+        # and null sums come back as None — degrade to a zeroed
+        # histogram instead of crashing after the filter already ran
+        from nuclei_feature_extraction_spark.lineage import (
+            observation_get_bounded,
+        )
+
+        _, hist = observation_get_bounded(obs)
         record("lang_filter", n, m, langs=args.langs,
-               lang_histogram=obs.get)
+               lang_histogram={
+                   lg: int(hist.get(lg) or 0) for lg in (*LANGS, "unknown")
+               })
         n = m
 
     if args.split_weights:

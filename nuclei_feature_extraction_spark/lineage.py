@@ -41,6 +41,101 @@ def observed(
     return out, obs
 
 
+def observation_get_bounded(
+    obs: Observation, timeout_s: float = 30.0
+) -> tuple[bool, dict]:
+    """``Observation.get`` with a deadline → ``(completed, metrics)``.
+
+    ``Observation.get`` blocks until the observed plan's FIRST action
+    finishes; a caller that harvests before any action ran would hang
+    the driver forever. This reads it on a daemon thread and joins with
+    a timeout, so misuse degrades to ``(False, {})`` and the caller can
+    fall back to an eager job instead of deadlocking. Two further
+    wrinkles are folded into the same contract: when AQE's
+    empty-relation propagation drops the ``CollectMetrics`` node the
+    JVM row is empty and ``get`` raises an assertion — that returns
+    ``(True, {})`` here; and per-metric ``None`` values (null SQL sums
+    over zero rows) are left to the caller to coalesce."""
+    import threading
+
+    box: dict = {}
+
+    def _read():
+        try:
+            box["got"] = obs.get
+        except Exception:
+            box["got"] = {}
+
+    t = threading.Thread(target=_read, daemon=True, name="nfx-obs-get")
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        # the JVM-side wait keeps the daemon thread parked; it dies
+        # with the process and never touches `box` visible to us again
+        return False, {}
+    return True, box.get("got") or {}
+
+
+_STAGE_TOTAL_KEYS = (
+    "core_seconds", "cpu_seconds", "shuffle_read_mb", "shuffle_write_mb",
+    "fetch_wait_seconds", "shuffle_write_seconds", "deserialize_seconds",
+    "gc_seconds", "spill_mb", "tasks", "failed_tasks", "stages",
+)
+
+
+def executor_stage_totals(spark) -> dict:
+    """CUMULATIVE executor-side stage metrics from the live
+    AppStatusStore (the web-UI's data source — works headless):
+    core-seconds (Σ executorRunTime), CPU-seconds (Σ executorCpuTime),
+    shuffle read/write MB, spill MB, task counts. Snapshot before and
+    after a pipeline stage and diff (:func:`stage_metrics_delta`) to
+    attribute core-second burn / shuffle volume to THAT stage — the
+    falsifier for "is the N→4N core-seconds inflation DRAM contention
+    or a specific stage's plan" (VERDICT r6 ask #3).
+
+    Caveats: the store retains ``spark.ui.retainedStages`` (default
+    1000) stages — totals under-count once eviction starts on very long
+    sessions; and SKIPPED stages report zero (their work was done in an
+    earlier stage's numbers)."""
+    sc = spark.sparkContext
+    jvm, gw = sc._jvm, sc._gateway
+    ss = sc._jsc.sc().statusStore()
+    lst = ss.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    tot = dict.fromkeys(_STAGE_TOTAL_KEYS, 0.0)
+    for i in range(lst.size()):
+        st = lst.apply(i)
+        tot["core_seconds"] += st.executorRunTime() / 1e3
+        tot["cpu_seconds"] += st.executorCpuTime() / 1e9
+        tot["shuffle_read_mb"] += st.shuffleReadBytes() / 1e6
+        tot["shuffle_write_mb"] += st.shuffleWriteBytes() / 1e6
+        # shuffle I/O + overhead TIME terms (the standalone-vs-local
+        # overhead decomposition): fetch wait + write are real I/O
+        # stalls, deserialize + GC are per-task JVM overhead
+        tot["fetch_wait_seconds"] += st.shuffleFetchWaitTime() / 1e3
+        tot["shuffle_write_seconds"] += st.shuffleWriteTime() / 1e9
+        tot["deserialize_seconds"] += st.executorDeserializeTime() / 1e3
+        tot["gc_seconds"] += st.jvmGcTime() / 1e3
+        tot["spill_mb"] += (
+            st.memoryBytesSpilled() + st.diskBytesSpilled()
+        ) / 1e6
+        tot["tasks"] += st.numCompleteTasks()
+        tot["failed_tasks"] += st.numFailedTasks()
+        tot["stages"] += 1
+    return {k: round(v, 3) for k, v in tot.items()}
+
+
+def stage_metrics_delta(before: dict, after: dict) -> dict:
+    """Per-pipeline-stage attribution: ``after - before`` of two
+    :func:`executor_stage_totals` snapshots."""
+    return {
+        k: round(after.get(k, 0.0) - before.get(k, 0.0), 3)
+        for k in _STAGE_TOTAL_KEYS
+    }
+
+
 def partition_metrics(df: DataFrame, key_col: str = "conv_id") -> DataFrame:
     """Row count + distinct-conversation count per physical partition —
     the skew diagnostic (a heavy conv shows up as one fat partition)."""

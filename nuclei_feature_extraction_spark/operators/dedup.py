@@ -418,28 +418,35 @@ def _pending_cap_observation(
     return obs
 
 
-def harvest_lsh_audit(audit: dict) -> dict:
+def harvest_lsh_audit(audit: dict, timeout_s: float = 30.0) -> dict:
     """Fold a pending ``observe()``-based cap audit (see
     ``_pending_cap_observation``) into plain ints in the audit dict.
-    Call ONLY after an action has executed the candidate-pair plan —
-    ``Observation.get`` blocks until the observed frame's first action
-    completes (in the curation job that's the verify stage's eager
+    Call after an action has executed the candidate-pair plan —
+    ``Observation.get`` completes with the observed frame's first
+    action (in the curation job that's the verify stage's eager
     checkpoint / the CC edge count). Idempotent; no-op for eager
     audits.
+
+    Misuse-safe (bounded wait): a caller that harvests BEFORE any
+    action ran no longer hangs the driver — after ``timeout_s`` the
+    pending observation is abandoned and the audit degrades to the
+    eager ``lsh_bucket_stats`` job over the parked buckets frame (same
+    numbers, one extra aggregate job).
 
     Known Spark wrinkle (pinned by test): when the candidate set turns
     out EMPTY, AQE's empty-relation propagation rewrites the executed
     plan and the ``CollectMetrics`` node is dropped — the observation
     completes with an EMPTY row. In that (cheap — nothing matched)
-    case this falls back to the eager ``lsh_bucket_stats`` job."""
+    case this falls back to the eager ``lsh_bucket_stats`` job too."""
+    from nuclei_feature_extraction_spark.lineage import (
+        observation_get_bounded,
+    )
+
     obs = audit.pop("_pending_observation", None)
     fallback = audit.pop("_pending_fallback", (None, None))
     if obs is None:
         return audit
-    try:
-        got = obs.get
-    except Exception:
-        got = {}  # empty GenericRow → toPyRow assertion failure
+    _, got = observation_get_bounded(obs, timeout_s)
     if got:
         audit.update(
             {k: (0 if v is None else int(v)) for k, v in got.items()}
@@ -825,7 +832,7 @@ def connected_components(
     id_col_a: str = "id_a",
     id_col_b: str = "id_b",
     max_iter: int = 30,
-    hops_per_round: int = 3,
+    hops_per_round: int | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph → (id, comp)
     where comp = min node id in the component.
@@ -838,17 +845,24 @@ def connected_components(
     converges in ~20 rounds, not 10^6.
 
     DRIVER-SYNC SHAPE (the 100-TB-relevant cost): ONE Spark job per
-    round, total. ``hops_per_round`` pointer jumps are COMPOSED into a
-    single plan before the round's ``localCheckpoint`` (the min-label
-    lattice makes stacked hops safe — each extra hop only chases labels
-    further down the same monotone chain), each intermediate lazily
-    ``persist()``-ed so the self-join's two branches share one
-    computation instead of re-executing the upstream per branch; and
-    the convergence digest rides the eager checkpoint itself as an
-    ``observe()`` metric (verified: eager localCheckpoint completes
-    observations) instead of a second collect job. Round 5 paid
-    2 driver-synchronized jobs × ~7 rounds for the 4.2M-doc curation
-    graph; this shape pays ~1 × 3-4."""
+    round, total. Pointer jumps are COMPOSED into a single plan before
+    the round's ``localCheckpoint`` (the min-label lattice makes
+    stacked hops safe — each extra hop only chases labels further down
+    the same monotone chain), each intermediate lazily ``persist()``-ed
+    so the self-join's two branches share one computation instead of
+    re-executing the upstream per branch; and the convergence digest
+    rides the eager checkpoint itself as an ``observe()`` metric
+    (verified: eager localCheckpoint completes observations) instead of
+    a second collect job. Round 5 paid 2 driver-synchronized jobs × ~7
+    rounds for the 4.2M-doc curation graph; this shape pays ~1 × 3-4.
+
+    ADAPTIVE HOP SCHEDULE (``hops_per_round=None``, the default): round
+    r composes ``min(2**r, 8)`` jumps — 1, 2, 4, 8, 8, … The common
+    near-dup case (clusters of size 2-5, depth ≤ 2) converges in the
+    first rounds WITHOUT paying two wasted self-joins per round the
+    fixed 3-hop schedule charged, while a deep pathological chain
+    amortizes better (reach after R rounds grows ~2^(R²/2) vs 4^R). An
+    int pins the fixed schedule for tests/benchmarks."""
     # the symmetric union reads ``pairs`` through TWO plan branches;
     # Spark gives unpersisted subtrees no cross-branch reuse, so an
     # expensive upstream (LSH ∘ verify) would execute twice — persist
@@ -888,6 +902,10 @@ def connected_components(
     try:
         prev_digest = None
         for rnd in range(max_iter):
+            hops = (
+                min(2**rnd, 8) if hops_per_round is None
+                else max(1, hops_per_round)
+            )
             interm: list[DataFrame] = []
             prop = sym.join(
                 labels.withColumnRenamed("id", "src"), "src"
@@ -895,7 +913,7 @@ def connected_components(
             lbl = (
                 labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
             )
-            for _hop in range(max(1, hops_per_round)):
+            for _hop in range(hops):
                 # lazy persist: the self-join below reads ``lbl``
                 # through two plan branches (different shuffle keys, no
                 # exchange reuse) — the cache makes both branches share

@@ -80,6 +80,16 @@ def test_curation_end_to_end(spark, curation_docs, tmp_path):
         "lang_filter", "split_assign", "packing", "sink",
     ]
     assert all("wall_seconds" in s for s in m["stages"])
+    # per-stage executor attribution (core-seconds / shuffle / spill):
+    # present on every stage, and the expensive stages actually burned
+    # executor time (the N->4N inflation falsifier, VERDICT r6 ask #3)
+    assert all("executor" in s for s in m["stages"])
+    assert all(
+        set(s["executor"])
+        >= {"core_seconds", "cpu_seconds", "shuffle_read_mb", "spill_mb"}
+        for s in m["stages"]
+    )
+    assert m["stages"][1]["executor"]["core_seconds"] > 0  # fuzzy dedup
     for prev, nxt in zip(m["stages"], m["stages"][1:]):
         assert nxt["rows_in"] == prev["rows_out"]
     assert m["stages"][0]["rows_in"] == m["rows_in"] == 53

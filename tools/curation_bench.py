@@ -107,7 +107,17 @@ def run_level(cpus: int, out_dir: str) -> dict:
         "rows_in": m["rows_in"],
         "rows_out": m["rows_out"],
         "stages": {
-            s["stage"]: {"wall": s["wall_seconds"], "rows_out": s["rows_out"]}
+            s["stage"]: {
+                "wall": s["wall_seconds"], "rows_out": s["rows_out"],
+                # per-stage executor attribution (VERDICT r6 ask #3):
+                # core-seconds inflation at higher parallelism is now
+                # localizable to a stage instead of a prose hypothesis
+                **{
+                    k: s.get("executor", {}).get(k)
+                    for k in ("core_seconds", "cpu_seconds",
+                              "shuffle_read_mb", "spill_mb", "gc_seconds")
+                },
+            }
             for s in m["stages"]
         },
     }
