@@ -50,6 +50,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--checkpoint-dir", default=None,
                    help="enable bucket-manifest resume under this dir")
     p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--as-of-snapshot", type=int, default=None,
+                   help="TIME-TRAVEL input: treat --transcripts as a "
+                   "checkpointed table dir (_manifest.json + data/) and "
+                   "read it exactly as of this manifest version — "
+                   "buckets committed later are invisible "
+                   "(sources/checkpoint.py::read_snapshot); the pinned "
+                   "version is recorded in the run manifest/metrics")
     p.add_argument("--metrics-out", default=None)
     args = p.parse_args(argv)
     # exactly one output mode: a plain sink XOR a checkpointed backfill
@@ -87,7 +94,20 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     spark = get_spark(app_name="nfx-backfill")
-    tr = read_transcripts(spark, args.transcripts)
+    input_snapshot = None
+    if args.as_of_snapshot is not None:
+        # time-travel read of a checkpointed input table: only buckets
+        # committed at or before the pinned manifest version are
+        # visible (append-only soundness argument in checkpoint.py)
+        reader = CheckpointedWriter.open_table(args.transcripts)
+        tr = reader.read_snapshot(spark, args.as_of_snapshot).drop("bucket")
+        input_snapshot = {
+            "path": args.transcripts,
+            "version": int(args.as_of_snapshot),
+            "history": reader.snapshots(),
+        }
+    else:
+        tr = read_transcripts(spark, args.transcripts)
     side_profile = (
         spark.read.parquet(args.side_profile) if args.side_profile else None
     )
@@ -149,6 +169,10 @@ def main(argv: list[str] | None = None) -> int:
         writer = CheckpointedWriter(args.checkpoint_dir, n_buckets=args.n_buckets)
         if asof_routing is not None:
             writer.record_run_info({"asof_routing": asof_routing})
+        if input_snapshot is not None:
+            # lineage: this backfill's rows derive from the input table
+            # AS OF the pinned snapshot — recorded in the OUTPUT manifest
+            writer.record_run_info({"input_snapshot": input_snapshot})
         # snapshot what earlier runs already completed, so the reported
         # rows / rows_per_sec describe THIS run only (a resumed run must
         # not claim rows a previous process wrote, nor blend walls
@@ -177,12 +201,18 @@ def main(argv: list[str] | None = None) -> int:
         if ktimers is not None:
             # cluster-wide CPU-seconds per kernel family (accumulated
             # over Arrow tasks) — a per-run regression tripwire for the
-            # documented hull/shape share
+            # documented hull/shape share. AT-LEAST-ONCE: task retries /
+            # speculation / branch recomputation inflate these (see
+            # kernel_timing_accumulators) — check retry counts before
+            # reading a jump as a kernel regression
             summary["kernel_seconds"] = {
                 f: round(a.value, 3) for f, a in ktimers.items()
             }
+            summary["kernel_seconds_semantics"] = "at-least-once"
         if asof_routing is not None:
             summary["asof_routing"] = asof_routing
+        if input_snapshot is not None:
+            summary["input_snapshot"] = input_snapshot
         if args.metrics_out:
             with open(args.metrics_out, "w") as fh:
                 json.dump(summary, fh, indent=2)
@@ -198,6 +228,10 @@ def main(argv: list[str] | None = None) -> int:
         metrics.audits["kernel_seconds"] = {
             f: round(a.value, 3) for f, a in ktimers.items()
         }
+        metrics.audits["kernel_seconds_semantics"] = "at-least-once"
+    if input_snapshot is not None:
+        metrics.audits = dict(metrics.audits or {})
+        metrics.audits["input_snapshot"] = input_snapshot
     if args.metrics_out:
         metrics.write(args.metrics_out)
     print(json.dumps({"rows": metrics.rows, "wall_seconds": metrics.wall_seconds,

@@ -285,7 +285,15 @@ def kernel_timing_accumulators(spark) -> dict:
     ``build_features_fused(..., kernel_timers=...)``; after the action,
     ``{f: acc.value}`` is the cluster-wide CPU-seconds per family (sum
     over tasks — divide by executor cores for wall share). Lets a run
-    manifest expose e.g. the documented hull/shape share per-run."""
+    manifest expose e.g. the documented hull/shape share per-run.
+
+    AT-LEAST-ONCE semantics: the adds happen inside a mapInPandas
+    TRANSFORMATION, where Spark only guarantees at-least-once execution
+    — task retries, speculative duplicates, and plan-branch
+    recomputation each add their CPU time again. The numbers are a
+    regression TRIPWIRE, not an exact meter: before reading a jump as a
+    kernel regression, check the run for task failures/retries (the
+    manifests record the caveat alongside the values)."""
     sc = spark.sparkContext
     return {f: sc.accumulator(0.0) for f in KERNEL_TIMER_FAMILIES}
 

@@ -50,6 +50,20 @@ class CheckpointedWriter:
         self.key_col = key_col
         self.manifest_path = os.path.join(out_dir, "_manifest.json")
 
+    @classmethod
+    def open_table(cls, out_dir: str) -> "CheckpointedWriter":
+        """Open an EXISTING checkpointed table for reading (snapshots /
+        time travel), taking ``n_buckets`` from its manifest instead of
+        requiring the caller to know the writer's configuration."""
+        mpath = os.path.join(out_dir, "_manifest.json")
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"not a checkpointed table (no manifest): {mpath}"
+            )
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        return cls(out_dir, n_buckets=int(manifest["n_buckets"]))
+
     # ---------------------------------------------------------- manifest
 
     def load_manifest(self) -> dict:

@@ -232,3 +232,55 @@ def test_backfill_fused_kernel_seconds_in_metrics(spark, tmp_path, tiny_pdf):
     # every family actually executed on this fixture: elapsed > 0
     for fam in ("cooc", "runlen", "xcooc", "shape", "window"):
         assert ks[fam] > 0.0, fam
+
+
+def test_backfill_as_of_snapshot_pins_input_version(spark, tmp_path, tiny_pdf):
+    """TIME TRAVEL through the job surface (VERDICT r6 ask #8): a
+    backfill run with --as-of-snapshot N-1 AFTER a later bucket group
+    landed must (a) compute features only over rows visible at that
+    snapshot and (b) record the pinned version in its lineage output."""
+    import json as _json
+
+    import jobs.run_backfill as job
+    from nuclei_feature_extraction_spark.sources.checkpoint import (
+        CheckpointedWriter,
+    )
+
+    # checkpoint the INPUT table in two bucket groups -> versions 1, 2
+    src = str(tmp_path / "ckpt_in")
+    w = CheckpointedWriter(src, n_buckets=4, buckets_per_job=2)
+    w.run(spark.createDataFrame(tiny_pdf))
+    hist = w.snapshots()
+    assert [s["version"] for s in hist] == [1, 2]
+    v1_rows = hist[0]["rows"]
+    assert 0 < v1_rows < len(tiny_pdf)
+
+    # plain-sink backfill pinned to snapshot 1 (N-1)
+    out = str(tmp_path / "feat.parquet")
+    mdir = str(tmp_path / "metrics")
+    rc = job.main(
+        ["--transcripts", src, "--as-of-snapshot", "1", "--output", out,
+         "--feature-sets", "session", "--metrics-out", mdir]
+    )
+    assert rc == 0
+    m = _json.load(open(os.path.join(mdir, "metrics.json")))
+    assert m["rows"] == v1_rows
+    assert m["audits"]["input_snapshot"]["version"] == 1
+    assert m["audits"]["input_snapshot"]["history"] == hist
+    assert spark.read.parquet(out).count() == v1_rows
+
+    # checkpointed backfill records the pinned input version in the
+    # OUTPUT manifest's run_info (resumable lineage)
+    ck = str(tmp_path / "ckpt_out")
+    rc = job.main(
+        ["--transcripts", src, "--as-of-snapshot", "1",
+         "--checkpoint-dir", ck, "--n-buckets", "2",
+         "--feature-sets", "session", "--metrics-out",
+         str(tmp_path / "m2.json")]
+    )
+    assert rc == 0
+    om = CheckpointedWriter(ck, n_buckets=2).load_manifest()
+    assert om["run_info"]["input_snapshot"]["version"] == 1
+    m2 = _json.load(open(str(tmp_path / "m2.json")))
+    assert m2["rows"] == v1_rows
+    assert m2["input_snapshot"]["version"] == 1
