@@ -143,10 +143,54 @@ def standalone_bench(scale: str = "bench") -> dict:
         n_block_managers = (
             spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
         )
+        from nuclei_feature_extraction_spark.lineage import (
+            executor_stage_totals,
+            stage_metrics_delta,
+        )
+
+        # WARM BEST-OF-3 under the repo's noise protocol (VERDICT r6
+        # ask #5) — the round-6 row was a single cold pass, which
+        # conflated Python-worker cold start with steady-state topology
+        # cost. Per-pass executor deltas decompose the wall into
+        # compute (CPU), shuffle I/O (fetch wait + write time) and
+        # JVM overhead (deserialize + GC); pass-1-minus-best is the
+        # cold-start term.
         _force(transcript_pipeline(spark, d).limit(20_000))  # warmup
-        t0 = time.perf_counter()
-        _force(transcript_pipeline(spark, d))
-        wall = time.perf_counter() - t0
+        passes = []
+        for _ in range(3):
+            before = executor_stage_totals(spark)
+            t0 = time.perf_counter()
+            _force(transcript_pipeline(spark, d))
+            w = time.perf_counter() - t0
+            passes.append({
+                "wall": round(w, 2),
+                "executor": stage_metrics_delta(
+                    before, executor_stage_totals(spark)
+                ),
+            })
+        best = min(passes, key=lambda p: p["wall"])
+        wall = best["wall"]
+        total_cores = N_WORKERS * WORKER_CORES
+        ex = best["executor"]
+        decomposition = {
+            "compute_cpu_seconds": ex["cpu_seconds"],
+            "shuffle_io_seconds": round(
+                ex["fetch_wait_seconds"] + ex["shuffle_write_seconds"], 3
+            ),
+            "jvm_overhead_seconds": round(
+                ex["deserialize_seconds"] + ex["gc_seconds"], 3
+            ),
+            "core_occupancy": round(
+                ex["core_seconds"] / (wall * total_cores), 3
+            ),
+            "cpu_share_of_occupied": round(
+                ex["cpu_seconds"] / max(ex["core_seconds"], 1e-9), 3
+            ),
+            "cold_start_seconds": round(passes[0]["wall"] - wall, 2),
+            "python_worker_reuse": spark.conf.get(
+                "spark.python.worker.reuse", "true(default)"
+            ),
+        }
         tracker = spark.sparkContext.statusTracker()
         stages = len(tracker.getJobIdsForGroup(None) or [])
         result = {
@@ -164,10 +208,36 @@ def standalone_bench(scale: str = "bench") -> dict:
             "rows": n,
             "wall": round(wall, 2),
             "turns_per_sec": round(n / wall, 1),
+            "passes": [p["wall"] for p in passes],
+            "executor_best_pass": ex,
+            "decomposition": decomposition,
             "py_files": ["nfx.zip"],
             "jobs_seen": stages,
         }
         spark.stop()
+        # SAME-WINDOW local[total_cores] control (apples-to-apples box
+        # state): the standalone-vs-local multiplier is only meaningful
+        # measured back-to-back
+        spark = get_spark(
+            master=f"local[{total_cores}]",
+            shuffle_partitions=4 * total_cores,
+            app_name="nfx-standalone-localctrl",
+        )
+        _force(transcript_pipeline(spark, d).limit(20_000))
+        lwalls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(transcript_pipeline(spark, d))
+            lwalls.append(round(time.perf_counter() - t0, 2))
+        spark.stop()
+        lbest = min(lwalls)
+        result["local_control"] = {
+            "master": f"local[{total_cores}]",
+            "passes": lwalls,
+            "wall": lbest,
+            "turns_per_sec": round(n / lbest, 1),
+        }
+        result["standalone_over_local"] = round(wall / lbest, 2)
         return result
     finally:
         for p in reversed(procs):
