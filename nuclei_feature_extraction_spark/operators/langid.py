@@ -1,4 +1,4 @@
-"""Character-bigram language identification (en / de / es / fr).
+"""Character-bigram language identification (en / de / es / fr / it / pt).
 
 The classic n-gram profile method (Cavnar & Trenkle 1994, "N-Gram-Based
 Text Categorization") with add-half-smoothed log-likelihood scoring
@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-LANGS = ("en", "de", "es", "fr")
+LANGS = ("en", "de", "es", "fr", "it", "pt")
 MIN_GRAMS = 4           # fewer bigrams than this -> 'unknown'
 MARGIN_MILLI = 15       # required milli-nats of margin PER GRAM
 
@@ -91,7 +91,18 @@ _WORDS = {
         "amor palabra cosa vida mano cabeza ojo corazón padre madre "
         "hermano hermana amigo señor señora hacer hace hizo decir dice "
         "dijo poder puede pudo tener tiene tuvo está estaba según así "
-        "aquí allí ahora entonces después siempre nunca español lengua"
+        "aquí allí ahora entonces después siempre nunca español lengua "
+        "trabajo hijo hija joven mejor bajo dejar lejos viejo jamás "
+        "lluvia llegar llamar calle llevar llenar allá aquello aquella "
+        "luz voz paz empezar zapato azul plaza pereza tristeza "
+        "nación canción atención información situación educación "
+        "ayer ayudar mayor ayuda suyo cuyo leyenda proyecto "
+        "mientras aunque luego hacia través momento mundo parte forma "
+        "caso lugar manera ejemplo historia noche puerta ventana "
+        "camino campo fuerza verdad razón cuerpo sangre muerte nombre "
+        "pueblo gente cuenta grupo punto final hecho estado cambio "
+        "semana mes mesa libro papel suelo sueño dueño pequeño niños "
+        "señal señales enseñar mañana montaña extraño baño otoño"
     ).split(),
     "fr": (
         "le la les de des du un une et est en que qui dans pour par sur "
@@ -113,9 +124,55 @@ _WORDS = {
         "entre sous chez vers sans dont cela celui celle ceux ça ici "
         "français langue aujourd hui être même déjà peut-être"
     ).split(),
+    "it": (
+        "di che e il la non un a per è una in sono mi si lo ma le ci "
+        "con ha no se io come più qui questo del cosa bene era lui mio "
+        "al me così anche quando tutto della ancora sei sua nel ho "
+        "molto fatto essere stato suo dove solo noi voi loro questa "
+        "questi queste quella quello sempre prima dopo ora già mai "
+        "niente nulla ogni altro altra altri senza contro sotto sopra "
+        "tra fra perché quindi allora poi anni anno giorno giorni "
+        "tempo volta uomo donna bambino casa città paese acqua fuoco "
+        "terra cielo mare amore parola vita mano testa occhi cuore "
+        "padre madre fratello sorella amico signore signora fare fa "
+        "fece dire dice disse potere può poteva avere aveva tenere "
+        "teneva stata sarà sarebbe due tre quattro cinque primo "
+        "grande piccolo vecchio nuovo giovane lungo alto basso buono "
+        "bello brutto stesso proprio davvero soltanto davanti dietro "
+        "dentro fuori vicino lontano presto tardi oggi ieri domani "
+        "italiano lingua però neanche qualche ecco ognuno ciascuno"
+    ).split(),
+    "pt": (
+        "de que e o a do da em um para é com não uma os no se na por "
+        "mais as dos como mas foi ao ele das tem à seu sua ou ser "
+        "quando muito há nos já está eu também só pelo pela até isso "
+        "ela entre era depois sem mesmo aos ter seus quem nas me esse "
+        "eles estão você tinha foram essa num nem suas meu às minha "
+        "têm numa pelos qual será nós tenho lhe deles essas esses "
+        "pelas este fosse dele outro outra outros ainda antes sempre "
+        "nunca coisa coisas tudo nada cada onde porque então assim "
+        "anos ano dia dias tempo vez homem mulher criança casa cidade "
+        "país água fogo terra céu mar amor palavra vida mão cabeça "
+        "olhos coração pai mãe irmão irmã amigo senhor senhora fazer "
+        "faz fez dizer diz disse poder pode podia haver houve dois "
+        "três quatro cinco primeiro grande pequeno velho novo jovem "
+        "longo alto baixo bom boa bonito feio próprio apenas diante "
+        "atrás dentro fora perto longe cedo tarde hoje ontem amanhã "
+        "português língua são estava estavam havia algum alguma alguns "
+        "filho filha melhor olho trabalho ilha folha velhos escolha "
+        "senhores caminho vinho ganhar banho montanha manhãs junho "
+        "coisinha pessoa pessoas nosso nossa vosso passar isso disso "
+        "naquele naquela nestes nesta neste desta deste doutro daquilo "
+        "começar começo praça almoço serviço criação criançada canções "
+        "informação situação educação estação verão pão cão chão "
+        "verdade idade liberdade saudade felicidade qualidade "
+        "ouvir ouro pouco poucos roupa louco loucura outras vossos "
+        "lugar gente conta grupo ponto fim feito mudança trabalhos "
+        "semana mês mesa livro papel sonho dono pequena meninos"
+    ).split(),
 }
 
-_ACCENTS = "".join(sorted(set("àâäáçèéêëîïíñóôöòùûüúßœæÿ")))
+_ACCENTS = "".join(sorted(set("àâäáçèéêëîïíñóôöòùûüúßœæÿìãõ")))
 _ALPHA = " " + "abcdefghijklmnopqrstuvwxyz" + _ACCENTS
 # uppercase counterparts with an unambiguous 1:1 lowercase mapping that
 # every engine (Python str.lower, Spark's Locale.ROOT lower, DuckDB's
