@@ -133,11 +133,26 @@ def run_bench() -> dict:
 # ------------------------------------------------ same-window control
 
 def _control_ref() -> str | None:
+    """Control ref resolution: an explicit `.bench_control` file wins;
+    otherwise auto-detect the PREVIOUS ROUND's boundary commit (the
+    driver commits each round as 'round N: verdict/...'), so the
+    control baseline self-maintains across rounds without anyone
+    remembering to bump a pinned sha."""
     path = os.path.join(REPO, ".bench_control")
     if os.path.exists(path):
         ref = open(path).read().strip()
+        if ref:
+            return ref
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "log", "--grep", r"^round [0-9]*:",
+             "-1", "--format=%H"],
+            capture_output=True, text=True, timeout=30,
+        )
+        ref = out.stdout.strip()
         return ref or None
-    return None
+    except Exception:
+        return None
 
 
 def _subprocess_pass(cwd: str) -> dict | None:
