@@ -170,12 +170,13 @@ def main(argv: list[str] | None = None) -> int:
         pairs = ngram_jaccard_verify(
             cur, cand.select("id_a", "id_b"), idc, txc
         ).filter(F.col("jaccard") >= args.fuzzy_threshold)
-        groups = dup_groups(cur, pairs, idc)
+        cc_audit: dict = {}
+        groups = dup_groups(cur, pairs, idc, audit=cc_audit)
         cur, m = checkpointed(
             cur.join(groups.filter("is_canonical").select(idc), idc, "inner")
         )
         record("fuzzy_dedup", n, m, lsh_audit=harvest_lsh_audit(audit),
-               threshold=args.fuzzy_threshold)
+               cc_audit=cc_audit, threshold=args.fuzzy_threshold)
         n = m
 
     if args.embeddings:

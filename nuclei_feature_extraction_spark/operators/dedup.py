@@ -833,6 +833,7 @@ def connected_components(
     id_col_b: str = "id_b",
     max_iter: int = 30,
     hops_per_round: int | None = None,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph → (id, comp)
     where comp = min node id in the component.
@@ -935,6 +936,10 @@ def connected_components(
             cur = (got["d1"], got["d2"], got["n"])
             for f in interm:
                 f.unpersist()
+            if audit is not None:
+                audit["cc_rounds"] = rnd + 1
+                audit["cc_hops"] = audit.get("cc_hops", 0) + hops
+                audit["cc_nodes"] = int(got["n"])
             if prev_digest is not None and cur == prev_digest:
                 return labels
             prev_digest = cur
@@ -950,6 +955,7 @@ def dup_groups(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    audit: dict | None = None,
 ) -> DataFrame:
     """Fuzzy-dedup group formation: duplicate pairs → connected
     components → per-doc ``dup_group_id`` (min doc id in the
@@ -958,7 +964,7 @@ def dup_groups(
     user actually consumes (keep canonical, drop the rest)."""
     from pyspark.sql import Window
 
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, audit=audit)
     out = (
         df.select(F.col(id_col))
         .join(comp.withColumnRenamed("id", id_col), id_col, "left")

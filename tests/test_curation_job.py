@@ -94,9 +94,13 @@ def test_curation_end_to_end(spark, curation_docs, tmp_path):
         assert nxt["rows_in"] == prev["rows_out"]
     assert m["stages"][0]["rows_in"] == m["rows_in"] == 53
     assert m["rows_out"] == len(got)
-    # fuzzy stage surfaced its LSH audit (no silent caps)
+    # fuzzy stage surfaced its LSH audit (no silent caps) and the CC
+    # driver-sync telemetry (rounds == Spark jobs, the scale-relevant
+    # serial cost of group formation)
     fz = m["stages"][1]
     assert "lsh_audit" in fz and "n_buckets" in fz["lsh_audit"]
+    assert fz["cc_audit"]["cc_rounds"] >= 1
+    assert fz["cc_audit"]["cc_nodes"] >= 1
     # lang filter surfaced the per-language prediction histogram (rides
     # the scoring pass as observe() metrics) and it telescopes
     lf = m["stages"][4]

@@ -315,8 +315,21 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         pd.DataFrame({"id_a": list(range(39)), "id_b": list(range(1, 40))})
     )
-    out = connected_components(pairs).toPandas()
+    audit = {}
+    out = connected_components(pairs, audit=audit).toPandas()
     assert (out.comp == 0).all() and len(out) == 40
+    # adaptive doubling schedule: reach after round r multiplies by
+    # (1 hop + 2^r jumps); a 40-node path must converge within 5
+    # driver-synchronized rounds (fixed-3-hops took 4 rounds but paid
+    # 3 self-joins in EVERY round; shallow graphs converge in 1-2)
+    assert audit["cc_nodes"] == 40
+    assert audit["cc_rounds"] <= 5, audit
+    # a trivially shallow graph (one pair) must converge in 2 rounds
+    # with a single composed hop each — the wasted-join fix
+    tiny = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [1]}))
+    a2 = {}
+    connected_components(tiny, audit=a2).count()
+    assert a2["cc_rounds"] == 2 and a2["cc_hops"] <= 3, a2
 
 
 def test_connected_components_string_ids_long_chain(spark):
