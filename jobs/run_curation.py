@@ -68,6 +68,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--split-seed", default="s0")
     p.add_argument("--pack-budget", type=int, default=None,
                    help="token budget per pack; enables packing offsets")
+    p.add_argument("--as-of-snapshot", type=int, default=None,
+                   help="TIME-TRAVEL input: treat --documents as a "
+                   "checkpointed table dir (_manifest.json + data/) and "
+                   "curate it exactly as of this manifest version — a "
+                   "re-run against the same snapshot sees the same "
+                   "corpus even after later bucket groups land; the "
+                   "pinned version is recorded in the run manifest")
     p.add_argument("--manifest", default=None, help="manifest JSON path")
     p.add_argument("--overwrite", action="store_true")
     return p.parse_args(argv)
@@ -101,7 +108,24 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="nfx-curation")
     t0 = time.perf_counter()
-    df = spark.read.parquet(args.documents)
+    input_snapshot = None
+    if args.as_of_snapshot is not None:
+        # time-travel read of a checkpointed corpus: only buckets
+        # committed at or before the pinned version are visible, so the
+        # curation run is reproducible against a moving table
+        from nuclei_feature_extraction_spark.sources.checkpoint import (
+            CheckpointedWriter,
+        )
+
+        reader = CheckpointedWriter.open_table(args.documents)
+        df = reader.read_snapshot(spark, args.as_of_snapshot).drop("bucket")
+        input_snapshot = {
+            "path": args.documents,
+            "version": int(args.as_of_snapshot),
+            "history": reader.snapshots(),
+        }
+    else:
+        df = spark.read.parquet(args.documents)
     idc, txc = args.id_col, args.text_col
 
     stages: list[dict] = []
@@ -315,6 +339,8 @@ def main(argv: list[str] | None = None) -> int:
         "stages": stages,
         "output": args.output,
     }
+    if input_snapshot is not None:
+        manifest["input_snapshot"] = input_snapshot
     if args.manifest:
         with open(args.manifest, "w") as fh:
             json.dump(manifest, fh, indent=2)

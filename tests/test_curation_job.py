@@ -204,3 +204,47 @@ def test_curation_embedding_vec_col_resolution(spark, curation_docs, tmp_path):
     m = json.load(open(mpath))
     st = {s["stage"]: s for s in m["stages"]}
     assert st["embedding_near_dup"]["vec_col"] == "vec"
+
+
+def test_curation_as_of_snapshot_pins_corpus(spark, tmp_path):
+    """TIME TRAVEL through the curation CLI: curating a checkpointed
+    corpus at snapshot N-1 after a later bucket group landed must see
+    only the rows visible at that version and record the pinned version
+    in the run manifest (reproducible curation over a moving table)."""
+    import json as _json
+
+    import jobs.run_curation as job
+    from nuclei_feature_extraction_spark.sources.checkpoint import (
+        CheckpointedWriter,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:03d}" for i in range(40)],
+            "text": [
+                f"unique document number {i} with several plain words "
+                f"about rivers and mountains {i}" for i in range(40)
+            ],
+        }
+    )
+    src = str(tmp_path / "ckpt_docs")
+    w = CheckpointedWriter(src, n_buckets=4, buckets_per_job=2,
+                           key_col="doc_id")
+    w.run(spark.createDataFrame(pdf))
+    hist = w.snapshots()
+    assert [s["version"] for s in hist] == [1, 2]
+    v1_rows = hist[0]["rows"]
+    assert 0 < v1_rows < len(pdf)
+
+    mpath = str(tmp_path / "m.json")
+    rc = job.main(
+        ["--documents", src, "--as-of-snapshot", "1",
+         "--output", str(tmp_path / "curated"),
+         "--skip-fuzzy-dedup", "--manifest", mpath, "--overwrite"]
+    )
+    assert rc == 0
+    m = _json.load(open(mpath))
+    assert m["rows_in"] == v1_rows
+    assert m["rows_out"] == v1_rows  # all docs unique + no filters
+    assert m["input_snapshot"]["version"] == 1
+    assert m["input_snapshot"]["history"] == hist
