@@ -143,13 +143,19 @@ def _control_ref() -> str | None:
         ref = open(path).read().strip()
         if ref:
             return ref
+    def _git(*args):
+        out = subprocess.run(["git", "-C", REPO, *args],
+                             capture_output=True, text=True, timeout=30)
+        return out.stdout.strip()
+
     try:
-        out = subprocess.run(
-            ["git", "-C", REPO, "log", "--grep", r"^round [0-9]*:",
-             "-1", "--format=%H"],
-            capture_output=True, text=True, timeout=30,
-        )
-        ref = out.stdout.strip()
+        ref = _git("log", "--grep", r"^round [0-9]*:", "-1", "--format=%H")
+        if ref and ref == _git("rev-parse", "HEAD"):
+            # benching AT a round-boundary commit: HEAD itself matches
+            # the grep, and a control equal to HEAD would burn passes
+            # comparing identical code — walk past it
+            ref = _git("log", "--grep", r"^round [0-9]*:", "-1",
+                       "--format=%H", "HEAD~1")
         return ref or None
     except Exception:
         return None
@@ -198,20 +204,27 @@ def _with_control(ref: str, passes: int = 2) -> dict:
             return run_bench()
         best = min(head_runs, key=lambda r: r["value"])
         if ctrl_runs:
-            cbest = min(ctrl_runs, key=lambda r: r["value"])
-            best["control"] = {
-                "ref": ref,
-                "value": cbest["value"],
-                "turns_per_sec": cbest.get("turns_per_sec"),
-                "queries": cbest.get("queries"),
-                "ratio_total": round(best["value"] / cbest["value"], 3),
-                "ratio_flagship": round(
-                    best["queries"]["transcript_pipeline"]
-                    / cbest["queries"]["transcript_pipeline"], 3,
-                ),
-                "passes_per_variant": passes,
-                "interleave": "H,C," * passes,
-            }
+            # a malformed control line (older bench schema, zero walls)
+            # must never sink the head artifact after the passes ran
+            try:
+                cbest = min(ctrl_runs, key=lambda r: r["value"])
+                ctrl_flagship = cbest["queries"]["transcript_pipeline"]
+                best["control"] = {
+                    "ref": ref,
+                    "value": cbest["value"],
+                    "turns_per_sec": cbest.get("turns_per_sec"),
+                    "queries": cbest.get("queries"),
+                    "ratio_total": round(best["value"] / cbest["value"], 3),
+                    "ratio_flagship": round(
+                        best["queries"]["transcript_pipeline"]
+                        / ctrl_flagship, 3,
+                    ),
+                    "passes_per_variant": passes,
+                    "interleave": "H,C," * passes,
+                }
+            except Exception as e:
+                best["control"] = {"ref": ref,
+                                   "error": f"{type(e).__name__}: {e}"}
         return best
     finally:
         subprocess.run(["git", "-C", REPO, "worktree", "remove", "--force",
@@ -225,7 +238,12 @@ def main() -> None:
         return
     ref = None
     if "--control" in argv:
-        ref = argv[argv.index("--control") + 1]
+        i = argv.index("--control")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("usage: bench.py [--plain | --control <git-ref>]",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        ref = argv[i + 1]
     else:
         ref = _control_ref()
     if ref:

@@ -100,7 +100,23 @@ def main(argv: list[str] | None = None) -> int:
         # committed at or before the pinned manifest version are
         # visible (append-only soundness argument in checkpoint.py)
         reader = CheckpointedWriter.open_table(args.transcripts)
-        tr = reader.read_snapshot(spark, args.as_of_snapshot).drop("bucket")
+        tr = reader.read_snapshot(spark, args.as_of_snapshot)
+        # same schema contract as read_transcripts: missing columns fail
+        # with the job's clear error (not a deep AnalysisException), and
+        # extra columns (incl. the layout's `bucket`) never leak into
+        # the pipeline
+        from nuclei_feature_extraction_spark.sources.io import (
+            TRANSCRIPT_SCHEMA,
+        )
+
+        missing = [
+            f.name for f in TRANSCRIPT_SCHEMA if f.name not in tr.columns
+        ]
+        if missing:
+            raise SystemExit(
+                f"snapshot table missing transcript columns {missing}"
+            )
+        tr = tr.select([f.name for f in TRANSCRIPT_SCHEMA])
         input_snapshot = {
             "path": args.transcripts,
             "version": int(args.as_of_snapshot),

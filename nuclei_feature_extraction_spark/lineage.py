@@ -99,6 +99,14 @@ def executor_stage_totals(spark) -> dict:
     earlier stage's numbers)."""
     sc = spark.sparkContext
     jvm, gw = sc._jvm, sc._gateway
+    # the status store is fed by the ASYNC listener bus: snapshot taken
+    # right after an action returns can miss in-flight TaskEnd/
+    # StageCompleted events and mis-attribute that work to the next
+    # stage boundary — drain the bus first (bounded; best-effort)
+    try:
+        sc._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        pass
     ss = sc._jsc.sc().statusStore()
     lst = ss.stageList(
         jvm.java.util.ArrayList(), False, False,

@@ -254,6 +254,15 @@ class CheckpointedWriter:
         The bucket filter prunes at the partition level (PartitionFilters
         — no data files of excluded buckets are read)."""
         manifest = self.load_manifest()
+        if not 0 <= version <= int(manifest["version"]):
+            # a version beyond the table's history would silently read
+            # the LIVE table while the caller records it as a pinned,
+            # reproducible snapshot — reject instead (the reproducibility
+            # contract is the whole point of this read path)
+            raise ValueError(
+                f"snapshot version {version} does not exist: table "
+                f"{self.out_dir!r} has versions 0..{manifest['version']}"
+            )
         visible = [
             int(b)
             for b, info in manifest["completed"].items()

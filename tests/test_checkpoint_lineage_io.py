@@ -64,6 +64,11 @@ def test_checkpoint_snapshot_time_travel(spark, tiny_df, tmp_path):
     )
     # snapshot monotonicity + endpoints
     assert w.read_snapshot(spark, 0).count() == 0
+    # a version beyond the table's history must be REJECTED — it would
+    # silently read the live table while the caller records a pinned,
+    # reproducible snapshot (the --as-of-snapshot CLIs rely on this)
+    with pytest.raises(ValueError, match="does not exist"):
+        w.read_snapshot(spark, 99)
     c1 = w.read_snapshot(spark, 1).count()
     assert 0 < c1 < v2_rows
     assert w.read_snapshot(spark, 4).count() == tiny_df.count()

@@ -47,33 +47,23 @@ def test_gate_queries_hash_identical_on_standalone_cluster(spark, tmp_path):
     qs = em.queries()
     local_fp = {n: frame_fingerprint(qs[n](spark, SF_DIR)) for n in QUERIES}
 
-    zip_path = os.path.join(REPO, "dist", "nfx.zip")
-    if not os.path.exists(zip_path):
-        subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "package.py")],
-            check=True, cwd=REPO,
-        )
     # the session fixture is local[4]; a second in-process session can't
-    # coexist — run the cluster side in a child interpreter
+    # coexist — run the cluster side in a child interpreter using the
+    # SAME topology recipe as the bench/parity tool (connect_standalone)
     script = f"""
-import json, os, sys
+import json, sys
 sys.path.insert(0, {REPO!r})
-os.environ["PYSPARK_PYTHON"] = sys.executable
 import __spark_entry__ as em
 from tools.topology_parity import frame_fingerprint
-from nuclei_feature_extraction_spark.session import get_spark
-spark = get_spark(
-    master="spark://127.0.0.1:{MASTER_PORT}", shuffle_partitions=32,
-    app_name="nfx-parity-pytest",
-    extra_conf={{"spark.executor.cores": "8", "spark.executor.memory": "14g",
-                 "spark.driver.host": "127.0.0.1"}})
-spark.sparkContext.addPyFile({zip_path!r})
-spark.sparkContext.addPyFile(os.path.join({REPO!r}, "__spark_entry__.py"))
+from tools.standalone_cluster import connect_standalone
+spark = connect_standalone("nfx-parity-pytest", ship_entry=True)
 qs = em.queries()
 out = {{n: frame_fingerprint(qs[n](spark, {SF_DIR!r})) for n in {QUERIES!r}}}
 spark.stop()
 print("FP_JSON:" + json.dumps(out))
 """
+    from tools.standalone_cluster import stop_cluster
+
     procs = launch_cluster(str(tmp_path / "logs"))
     try:
         res = subprocess.run(
@@ -81,13 +71,7 @@ print("FP_JSON:" + json.dumps(out))
             timeout=600, cwd=REPO,
         )
     finally:
-        for p in reversed(procs):
-            p.terminate()
-        for p in procs:
-            try:
-                p.wait(timeout=10)
-            except subprocess.TimeoutExpired:
-                p.kill()
+        stop_cluster(procs)
     assert res.returncode == 0, res.stderr[-3000:]
     import json
 

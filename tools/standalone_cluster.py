@@ -24,6 +24,7 @@ import socket
 import subprocess
 import sys
 import time
+from contextlib import contextmanager
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -99,34 +100,93 @@ def launch_cluster(log_dir: str) -> list[subprocess.Popen]:
     return procs
 
 
-def standalone_bench(scale: str = "bench") -> dict:
-    from bench import _force, transcript_pipeline
-    from nuclei_feature_extraction_spark.fixtures import fixtures_dir
-    from nuclei_feature_extraction_spark.session import get_spark
-
+def ensure_zip() -> str:
+    """Build (if needed) and return the --py-files package zip."""
     zip_path = os.path.join(REPO, "dist", "nfx.zip")
     if not os.path.exists(zip_path):
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "package.py")],
             check=True, cwd=REPO,
         )
+    return zip_path
+
+
+def connect_standalone(
+    app_name: str = "nfx-standalone",
+    ship_entry: bool = False,
+    shuffle_partitions: int | None = None,
+):
+    """Build the spark:// session against an ALREADY-RUNNING master with
+    the canonical executor conf, shipping the package zip (and
+    optionally ``__spark_entry__.py``) to the worker JVMs. The single
+    source of truth for the topology recipe — the bench, the parity
+    tool and the pytest smoke must all measure/verify the SAME cluster
+    configuration."""
+    from nuclei_feature_extraction_spark.session import get_spark
+
+    os.environ["PYSPARK_PYTHON"] = sys.executable
+    spark = get_spark(
+        master=f"spark://127.0.0.1:{MASTER_PORT}",
+        shuffle_partitions=shuffle_partitions
+        or 4 * N_WORKERS * WORKER_CORES,
+        app_name=app_name,
+        extra_conf={
+            "spark.executor.cores": str(WORKER_CORES),
+            "spark.executor.memory": "14g",
+            "spark.driver.host": "127.0.0.1",
+            "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",
+            "spark.scheduler.minRegisteredResourcesRatio": "1.0",
+        },
+    )
+    spark.sparkContext.addPyFile(ensure_zip())
+    if ship_entry:
+        spark.sparkContext.addPyFile(os.path.join(REPO, "__spark_entry__.py"))
+    return spark
+
+
+def stop_cluster(procs: list) -> None:
+    for p in reversed(procs):
+        p.terminate()
+    for p in procs:
+        try:
+            p.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            p.kill()
+
+
+@contextmanager
+def standalone_session(
+    log_dir: str = "/tmp/nfx_standalone_logs",
+    app_name: str = "nfx-standalone",
+    ship_entry: bool = False,
+    shuffle_partitions: int | None = None,
+):
+    """Launch master + workers, yield a connected session, tear both
+    down — the one-stop cluster recipe for tools and tests."""
+    procs = launch_cluster(log_dir)
+    spark = None
+    try:
+        spark = connect_standalone(app_name, ship_entry, shuffle_partitions)
+        yield spark
+    finally:
+        if spark is not None:
+            try:
+                spark.stop()
+            except Exception:
+                pass
+        stop_cluster(procs)
+
+
+def standalone_bench(scale: str = "bench") -> dict:
+    from bench import _force, transcript_pipeline
+    from nuclei_feature_extraction_spark.fixtures import fixtures_dir
+    from nuclei_feature_extraction_spark.session import get_spark
+
+    ensure_zip()
     log_dir = "/tmp/nfx_standalone_logs"
     procs = launch_cluster(log_dir)
     try:
-        os.environ["PYSPARK_PYTHON"] = sys.executable
-        spark = get_spark(
-            master=f"spark://127.0.0.1:{MASTER_PORT}",
-            shuffle_partitions=4 * N_WORKERS * WORKER_CORES,
-            app_name="nfx-standalone",
-            extra_conf={
-                "spark.executor.cores": str(WORKER_CORES),
-                "spark.executor.memory": "14g",
-                "spark.driver.host": "127.0.0.1",
-                "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",
-                "spark.scheduler.minRegisteredResourcesRatio": "1.0",
-            },
-        )
-        spark.sparkContext.addPyFile(zip_path)
+        spark = connect_standalone()
         d = fixtures_dir(scale)
         n = spark.read.parquet(f"{d}/transcripts.parquet").count()
         # PySpark's StatusTracker has no executor listing — the master's
@@ -240,13 +300,7 @@ def standalone_bench(scale: str = "bench") -> dict:
         result["standalone_over_local"] = round(wall / lbest, 2)
         return result
     finally:
-        for p in reversed(procs):
-            p.terminate()
-        for p in procs:
-            try:
-                p.wait(timeout=10)
-            except subprocess.TimeoutExpired:
-                p.kill()
+        stop_cluster(procs)
 
 
 if __name__ == "__main__":

@@ -27,7 +27,6 @@ import hashlib
 import json
 import math
 import os
-import subprocess
 import sys
 import time
 
@@ -38,7 +37,7 @@ from tools.standalone_cluster import (  # noqa: E402
     MASTER_PORT,
     N_WORKERS,
     WORKER_CORES,
-    launch_cluster,
+    standalone_session,
 )
 
 
@@ -129,49 +128,21 @@ def main() -> int:
     local_fp = gate_fingerprints(spark, args.sf_dir, names)
     spark.stop()
 
-    # ---- phase B: real standalone cluster ---------------------------
-    zip_path = os.path.join(REPO, "dist", "nfx.zip")
-    if not os.path.exists(zip_path):
-        subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "package.py")],
-            check=True, cwd=REPO,
-        )
+    # ---- phase B: real standalone cluster (shared recipe — the bench,
+    # this tool and the pytest smoke verify the SAME topology conf) ----
     print(f"phase B: spark:// {N_WORKERS}x{WORKER_CORES}-core workers",
           file=sys.stderr)
-    procs = launch_cluster("/tmp/nfx_parity_logs")
-    try:
-        os.environ["PYSPARK_PYTHON"] = sys.executable
-        spark = get_spark(
-            master=f"spark://127.0.0.1:{MASTER_PORT}",
-            shuffle_partitions=4 * N_WORKERS * WORKER_CORES,
-            app_name="nfx-parity-standalone",
-            extra_conf={
-                "spark.executor.cores": str(WORKER_CORES),
-                "spark.executor.memory": "14g",
-                "spark.driver.host": "127.0.0.1",
-                "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",
-                "spark.scheduler.minRegisteredResourcesRatio": "1.0",
-            },
-        )
-        # ship the package AND the entry module to the worker JVMs'
-        # Python workers (closures reference both by module name)
-        spark.sparkContext.addPyFile(zip_path)
-        spark.sparkContext.addPyFile(os.path.join(REPO, "__spark_entry__.py"))
+    with standalone_session(
+        log_dir="/tmp/nfx_parity_logs",
+        app_name="nfx-parity-standalone",
+        ship_entry=True,  # gate-query closures reference __spark_entry__
+    ) as spark:
         sa_fp = gate_fingerprints(spark, args.sf_dir, names)
         # probe AFTER work ran — block managers register lazily
         n_block_managers = (
             spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
         )
         executors = max(n_block_managers - 1, 0)
-        spark.stop()
-    finally:
-        for p in reversed(procs):
-            p.terminate()
-        for p in procs:
-            try:
-                p.wait(timeout=10)
-            except subprocess.TimeoutExpired:
-                p.kill()
 
     # ---- compare -----------------------------------------------------
     per_query, n_match = {}, 0
