@@ -149,6 +149,16 @@ def minhash_signature(
     if backend != "arrow":
         raise ValueError(f"backend must be 'arrow' or 'hof', got {backend!r}")
 
+    # guide §2.5 input skew: a single-file source caps this whole narrow
+    # pipeline (tokenize + hash + numpy combine) at ONE task — fan out
+    # first so the per-token work uses every core. No-op when the scan
+    # already has >= parallelism splits (the at-scale case).
+    from nuclei_feature_extraction_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
+    df = ensure_min_partitions(df)
+
     # phase 1: hash each TOKEN once JVM-side. Building shingle STRINGS
     # (concat_ws per window) is the dominant interpreted-HOF cost (~25 s
     # per 4.2M short docs, measured); windowed token-hash COMBINATION is
@@ -584,6 +594,14 @@ def simhash(
     )
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
+    # guide §2.5 input skew: the per-token ±1 vote fold is the heaviest
+    # interpreted expression in the repo — fan a single-file source out
+    # so it doesn't run on one core (no-op on many-split inputs)
+    from nuclei_feature_extraction_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
+    df = ensure_min_partitions(df)
     out = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.expr(votes_expr).alias("__v"))
@@ -697,7 +715,10 @@ def ngram_jaccard_verify(
         .distinct()
     )
     # candidate docs' shingle sets are read by both join arms — one
-    # eager materialization instead of two interpreted-HOF passes
+    # eager materialization instead of two interpreted-HOF passes.
+    # (No fan-out here: the candidate set is bounded by the LSH cap, and
+    # an extra shuffle + task wave ahead of the eager checkpoint costs
+    # more than the lone-task shingle pass saves — measured A/B.)
     docs = df.join(ids, id_col, "leftsemi").select(
         F.col(id_col), sh.alias("__sh")
     ).localCheckpoint(eager=True)
@@ -740,8 +761,16 @@ def ngram_jaccard_all_pairs(
     when its true J clears the threshold). Pass None for exact J over
     all shingles, as the sf0.01 oracle does. This is the exact-verify
     baseline the LSH operators are graded against."""
+    from nuclei_feature_extraction_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
     sh = F.explode(F.array_distinct(_word_shingles(text_col, shingle)))
-    postings = df.select(F.col(id_col).alias("id"), sh.alias("s"))
+    # guide §2.5 input skew: shingle construction must not run inside a
+    # lone scan task (no-op on many-split inputs)
+    postings = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), sh.alias("s")
+    )
     if max_doc_freq is not None:
         dfreq = postings.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
         postings = postings.join(
@@ -791,7 +820,13 @@ def ngram_contamination(
     partial-agg count. Set False for a huge benchmark to fall back to a
     shuffled semi-join on the shingle key. Integer counts → the ratio is
     bit-identical across engines (DuckDB-oracle-checkable)."""
-    c_post = corpus.select(
+    from nuclei_feature_extraction_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # guide §2.5 input skew: corpus shingling must not run inside a lone
+    # scan task (no-op on many-split inputs)
+    c_post = ensure_min_partitions(corpus).select(
         F.col(id_col),
         F.explode(F.array_distinct(_word_shingles(text_col, shingle))).alias("s"),
     )

@@ -46,8 +46,14 @@ def cosine_topk(
     → global top-k via TakeOrderedAndProject (no full sort, no shuffle
     of the vectors themselves).
     """
+    from nuclei_feature_extraction_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = df.select(
+    # guide §2.5 input skew: the interpreted dot-product fold must not
+    # run inside a lone scan task (no-op on many-split inputs)
+    scored = ensure_min_partitions(df).select(
         F.col(id_col),
         cosine_sim(F.col(vec_col).cast("array<double>"), q).alias("sim"),
     )
