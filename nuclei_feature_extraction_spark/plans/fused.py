@@ -110,7 +110,20 @@ def _window_features_pdf(
     seg = np.cumsum(first)
 
     tlen = pdf["tlen"].to_numpy(dtype=np.float64)
-    role = pdf["role"].to_numpy()
+    # role may arrive CATEGORICAL (the Arrow fused backend dictionary-
+    # encodes it so strings never box into Python objects); lags are
+    # then computed on the int8 codes and emitted as Categoricals with
+    # the same categories — value-identical after decode.
+    role_cat: pd.Categorical | None = None
+    if isinstance(pdf["role"].dtype, pd.CategoricalDtype):
+        role_cat = pdf["role"].array
+        role_codes = role_cat.codes.astype(np.int64, copy=False)
+        try:
+            asst_code = role_cat.categories.get_loc("assistant")
+        except KeyError:
+            asst_code = -2
+    else:
+        role = pdf["role"].to_numpy()
     us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
     sec = us / 1e6
 
@@ -128,12 +141,22 @@ def _window_features_pdf(
     out["session_id"] = _seg_cumsum(new_sess.astype(np.float64), first).astype(
         np.int32
     )
+    role_lags: dict[str, object] = {}
     for k in (1, 2, 3):
         out[f"tlen_lag{k}"] = _seg_shift_f(tlen, pos, k)
-        out[f"role_lag{k}"] = _seg_shift_obj(role, pos, k)
+        if role_cat is not None:
+            lagged = _seg_shift_f(role_codes.astype(np.float64), pos, k)
+            lag_codes = np.where(np.isnan(lagged), -1, lagged).astype(np.int64)
+            role_lags[f"role_lag{k}"] = pd.Categorical.from_codes(
+                lag_codes, categories=role_cat.categories
+            )
+        else:
+            role_lags[f"role_lag{k}"] = _seg_shift_obj(role, pos, k)
 
     theta = (sec % 86400.0) / 86400.0 * TWO_PI
-    is_asst = role == "assistant"
+    is_asst = (
+        role_codes == asst_code if role_cat is not None else role == "assistant"
+    )
     masked0 = np.where(is_asst, tlen, 0.0)  # NaN-as-0 + separate count
 
     # ---- one cumsum block of every moment needed ----------------------
@@ -244,35 +267,68 @@ def _window_features_pdf(
     )
     res["session_id"] = out["session_id"]
     for k in (1, 2, 3):
-        res[f"role_lag{k}"] = out[f"role_lag{k}"]
+        res[f"role_lag{k}"] = role_lags[f"role_lag{k}"]
     return res
 
 
 def _asof_arrays(
     side: pd.DataFrame, ts_col: str, tie_cols: Sequence[str], value_cols: Sequence[str]
 ):
+    """Sorted flat arrays for the broadcast as-of. String-typed value
+    columns are stored as (codes, categories) — integer codes broadcast
+    smaller and, in the Arrow backend, decode C-side into the output
+    batch so no per-row Python string is ever built."""
     side = side.sort_values([ts_col, *tie_cols], kind="mergesort")
     rts = side[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-    return rts, {c: side[c].to_numpy() for c in value_cols}
+    vals: dict[str, tuple] = {}
+    for c in value_cols:
+        arr = side[c].to_numpy()
+        if arr.dtype.kind == "O":
+            codes, cats = pd.factorize(side[c], sort=False)
+            vals[c] = ("cat", codes.astype(np.int64), cats.to_numpy(dtype=object))
+        else:
+            vals[c] = ("num", arr)
+    return rts, vals
 
 
 def _searchsorted_pick(
-    rts: np.ndarray, vals: dict[str, np.ndarray], ts_us: np.ndarray
-) -> dict[str, np.ndarray]:
+    rts: np.ndarray, vals: dict[str, tuple], ts_us: np.ndarray
+) -> dict[str, tuple]:
+    """Rightmost side row with rts <= ts per output row. Returns, per
+    column, ("num", ndarray) or ("cat", codes, cats) with -1 = no match
+    — the caller decodes per backend (object decode for the pandas
+    path, dictionary decode for the Arrow path)."""
     idx = np.searchsorted(rts, ts_us, side="right") - 1
     ok = idx >= 0
     safe = np.clip(idx, 0, None)
-    out = {}
-    for c, arr in vals.items():
-        if arr.dtype.kind == "f":
-            v = arr[safe].astype(np.float64)
-            v[~ok] = np.nan
-            out[c] = v
+    out: dict[str, tuple] = {}
+    for c, spec in vals.items():
+        if spec[0] == "num":
+            arr = spec[1]
+            if arr.dtype.kind == "f":
+                v = arr[safe].astype(np.float64)
+                v[~ok] = np.nan
+                out[c] = ("num", v)
+            else:
+                v = arr[safe].astype(object)
+                v[~ok] = None
+                out[c] = ("num", v)
         else:
-            v = arr[safe].astype(object)
-            v[~ok] = None
-            out[c] = v
+            _, codes, cats = spec
+            p = codes[safe].copy()
+            p[~ok] = -1
+            out[c] = ("cat", p, cats)
     return out
+
+
+def _decode_cat_object(codes: np.ndarray, cats: np.ndarray) -> np.ndarray:
+    """(codes, cats) -> object ndarray with None for -1 (the exact
+    value layout the pandas serializer shipped before coding)."""
+    v = np.empty(len(codes), dtype=object)
+    m = codes >= 0
+    v[m] = cats[codes[m]]
+    v[~m] = None
+    return v
 
 
 KERNEL_TIMER_FAMILIES = (
@@ -308,9 +364,17 @@ def build_features_fused(
     num_partitions: int | None = None,
     max_broadcast_side_rows: int = 2_000_000,
     kernel_timers: dict | None = None,
+    backend: str = "arrow",
 ) -> DataFrame:
     """Single-shuffle full feature vector; column-compatible with
     ``build_features(df, ["all"], side_profile, side_config)``.
+
+    ``backend='arrow'`` (default) runs the kernel pass as ``mapInArrow``:
+    strings never box into Python objects (conv_id/role dictionary-
+    encode C-side, text/tool pass through zero-copy, string outputs
+    decode from dictionary codes C-side). ``backend='pandas'`` keeps the
+    original ``mapInPandas`` formulation — value-identical output,
+    pinned by tests/test_fused.py.
 
     Side tables within ``max_broadcast_side_rows`` ride into the kernel
     as driver-built broadcast arrays (four flat numpy arrays sorted by
@@ -358,10 +422,12 @@ def build_features_fused(
         ppd = side_profile.toPandas().sort_values(
             ["conv_id", "effective_ts", "plan"], kind="mergesort"
         )
+        plan_codes, plan_cats = pd.factorize(ppd["plan"], sort=False)
         profile_arrays = (
             ppd["conv_id"].to_numpy(dtype="U"),
             ppd["effective_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64),
-            ppd["plan"].to_numpy(),
+            plan_codes.astype(np.int64),
+            np.asarray(plan_cats, dtype=object),
             ppd["score"].to_numpy(dtype=np.float64),
         )
     cfg_arrays = None
@@ -423,10 +489,13 @@ def build_features_fused(
         "conv_id", "ts", "turn_idx"
     )
 
-    def process(chunk: pd.DataFrame) -> pd.DataFrame:
+    def process(chunk: pd.DataFrame, conv_ids=None) -> pd.DataFrame:
         import time as _time
 
         prof, cfg = bc.value
+        # Arrow backend marker: role arrives dictionary-encoded, so the
+        # string-valued side picks stay coded too and decode C-side
+        coded = isinstance(chunk["role"].dtype, pd.CategoricalDtype)
         tm: dict | None = {} if kernel_timers is not None else None
         base = compute_features_pdf(
             chunk, ("cooc", "runlen", "xcooc", "shape"), lags, levels,
@@ -442,10 +511,10 @@ def build_features_fused(
         # memcpy); per-column assignment just appends block refs
         out = base
         for c in win.columns:
-            out[c] = win[c].to_numpy()
+            out[c] = win[c].values
         ts_us = out["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
         if prof is not None:
-            pconv, prts, ppl, psc = prof
+            pconv, prts, ppl_codes, ppl_cats, psc = prof
             conv_arr = out["conv_id"].to_numpy()
             # per-CONVERSATION string searches (one per conv, repeated to
             # rows), then one fully VECTORIZED bounded binary search for
@@ -458,7 +527,10 @@ def build_features_fused(
             # natural-width str, NOT pconv.dtype: casting to the profile's
             # fixed '<U' width would truncate longer out-of-profile ids to
             # a prefix that can falsely match a profile id
-            cids = conv_arr[starts].astype(str)
+            cids = (
+                conv_ids(starts) if conv_ids is not None
+                else conv_arr[starts].astype(str)
+            )
             blo = np.repeat(np.searchsorted(pconv, cids, side="left"), counts)
             bhi = np.repeat(np.searchsorted(pconv, cids, side="right"), counts)
             lo, hi = blo.copy(), bhi.copy()
@@ -475,16 +547,28 @@ def build_features_fused(
             idx = lo - 1
             ok = idx >= blo  # empty block (blo == bhi) → idx < blo
             safe = np.clip(idx, 0, None)
-            plan = ppl[safe].astype(object)
-            plan[~ok] = None
+            pick = ppl_codes[safe].copy()
+            pick[~ok] = -1
             score = psc[safe].astype(np.float64)
             score[~ok] = np.nan
-            out["plan"] = plan
+            if coded:
+                out["plan"] = pd.Categorical.from_codes(
+                    pick, categories=pd.Index(ppl_cats)
+                )
+            else:
+                out["plan"] = _decode_cat_object(pick, ppl_cats)
             out["score"] = score
         if cfg is not None:
             picked = _searchsorted_pick(cfg[0], cfg[1], ts_us)
-            for c, v in picked.items():
-                out[c] = v
+            for c, spec in picked.items():
+                if spec[0] == "num":
+                    out[c] = spec[1]
+                elif coded:
+                    out[c] = pd.Categorical.from_codes(
+                        spec[1], categories=pd.Index(spec[2])
+                    )
+                else:
+                    out[c] = _decode_cat_object(spec[1], spec[2])
         if tm is not None:
             tm["sidelookup"] = _time.perf_counter() - _t0
             for fam, secs in tm.items():
@@ -509,7 +593,101 @@ def build_features_fused(
         if carry is not None and len(carry):
             yield process(carry)
 
-    out = prep.mapInPandas(gen, schema)
+    out_names = [f.name for f in fields]
+    passthrough_names = set(df.columns) | {"tlen"}
+
+    def gen_arrow(batches):
+        """Arrow-native twin of ``gen`` (guide §4): the six narrow input
+        columns cross the boundary ONCE as Arrow buffers; conv_id/role
+        are dictionary-encoded (C-side) instead of boxed into Python
+        strings; text/tool pass through into the output batch ZERO-COPY
+        without ever becoming Python objects; string outputs (role lags,
+        side picks) are built as dictionary codes and decoded C-side.
+        Value-identical to the pandas backend (pinned by test)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def to_arrow_col(v: pd.Series):
+            if isinstance(v.dtype, pd.CategoricalDtype):
+                cat = v.array
+                codes = np.asarray(cat.codes)
+                ind = pa.array(codes.astype(np.int32), mask=codes < 0)
+                da = pa.DictionaryArray.from_arrays(
+                    ind,
+                    pa.array(
+                        np.asarray(cat.categories, dtype=object),
+                        type=pa.string(),
+                    ),
+                )
+                return da.dictionary_decode()
+            npv = v.to_numpy()
+            if npv.dtype.kind in "fO":
+                # from_pandas=True masks NaN/None → null, matching the
+                # pandas serializer's float handling exactly
+                return pa.array(npv, from_pandas=True)
+            return pa.array(npv)
+
+        def emit(tbl: "pa.Table") -> "pa.RecordBatch":
+            tbl = tbl.combine_chunks()
+            col = {nm: tbl.column(nm).chunk(0) for nm in tbl.column_names}
+            conv_pa = col["conv_id"]
+            conv_codes = pc.dictionary_encode(conv_pa).indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64, copy=False)
+            rd = pc.dictionary_encode(col["role"])
+            r_ind = rd.indices
+            if r_ind.null_count:
+                r_ind = r_ind.fill_null(-1)
+            role_cat = pd.Categorical.from_codes(
+                r_ind.to_numpy(zero_copy_only=False),
+                categories=rd.dictionary.to_pylist(),
+            )
+            tool_isnull = col["tool"].is_null().to_numpy(zero_copy_only=False)
+            chunk = pd.DataFrame(
+                {
+                    "conv_id": conv_codes,
+                    "turn_idx": col["turn_idx"].to_numpy(zero_copy_only=False),
+                    "role": role_cat,
+                    "tool": np.where(tool_isnull, np.nan, 0.0),
+                    "ts": col["ts"].to_numpy(zero_copy_only=False),
+                    "tlen": col["tlen"].to_numpy(zero_copy_only=False),
+                }
+            )
+
+            def conv_ids(starts: np.ndarray) -> np.ndarray:
+                return np.asarray(
+                    conv_pa.take(pa.array(starts)).to_pylist(), dtype=str
+                )
+
+            out_pdf = process(chunk, conv_ids=conv_ids)
+            arrays = [
+                col[nm] if nm in passthrough_names else to_arrow_col(out_pdf[nm])
+                for nm in out_names
+            ]
+            return pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+        carry = None
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl])
+            if tbl.num_rows == 0:
+                continue
+            conv = tbl.column("conv_id")
+            n_tail = pc.sum(pc.equal(conv, conv[-1])).as_py()
+            head = tbl.slice(0, tbl.num_rows - n_tail)
+            carry = tbl.slice(tbl.num_rows - n_tail).combine_chunks()
+            if head.num_rows:
+                yield emit(head)
+        if carry is not None and carry.num_rows:
+            yield emit(carry)
+
+    if backend == "arrow":
+        out = prep.mapInArrow(gen_arrow, schema)
+    elif backend == "pandas":
+        out = prep.mapInPandas(gen, schema)
+    else:
+        raise ValueError(f"backend must be 'arrow' or 'pandas', got {backend!r}")
     if fallback_profile is not None:
         from nuclei_feature_extraction_spark.operators.asof import asof_join
 

@@ -145,3 +145,32 @@ def test_fused_full_reference_grid_parity(spark, tiny_df, side_profile_df, side_
             ), f"column {c} diverges at full grid"
         else:
             assert (a.fillna("∅").astype(str) == b.fillna("∅").astype(str)).all(), c
+
+
+def test_arrow_backend_matches_pandas_backend(
+    spark, tiny_df, side_profile_df, side_config_df
+):
+    """The mapInArrow backend (strings never box into Python) must be
+    VALUE-identical to the original mapInPandas formulation — floats
+    bit-equal via repr, strings/nulls equal."""
+    kw = dict(
+        side_profile=side_profile_df, side_config=side_config_df,
+        lags=(1,), levels=(4,),
+    )
+    arrow = _sorted(
+        build_features_fused(tiny_df, backend="arrow", **kw).toPandas()
+    )
+    pandas = _sorted(
+        build_features_fused(tiny_df, backend="pandas", **kw).toPandas()
+    )
+    assert list(arrow.columns) == list(pandas.columns)
+    for c in arrow.columns:
+        a, b = arrow[c], pandas[c]
+        if a.dtype.kind in "fc":
+            # repr equality = bit equality incl. NaN placement — the
+            # backends must not even differ in last-bit float noise
+            assert (
+                a.astype(float).astype(str) == b.astype(float).astype(str)
+            ).all(), c
+        else:
+            assert (a.fillna("∅").astype(str) == b.fillna("∅").astype(str)).all(), c
