@@ -265,7 +265,8 @@ def main(argv: list[str] | None = None) -> int:
             cont.filter("NOT is_contaminated").select(idc), idc, "inner"
         ))
         record("decontamination", n, m,
-               threshold=args.contamination_threshold)
+               threshold=args.contamination_threshold,
+               shingle_backend="arrow")
         n = m
 
     if args.min_quality is not None:
