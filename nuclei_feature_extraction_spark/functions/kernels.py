@@ -168,10 +168,46 @@ def _fuse_keys(conv: np.ndarray, key: np.ndarray) -> np.ndarray:
     return np.asarray(conv, dtype=np.int64) * span + (k + 1)
 
 
+def _keyed_prefix_count_c(
+    comb: np.ndarray, signs: np.ndarray | None, pre: bool
+) -> np.ndarray | None:
+    """Single-pass open-addressing running counter (compiled kernel;
+    see ``nfx_keyed_prefix_count`` in the embedded C source). A pandas
+    ``groupby`` re-factorizes the key column on EVERY call — the cooc
+    grid alone pays 3 hash passes per (d, k) cell — while this runs one
+    probe+increment pass. Counts are small integers in float64: EXACT,
+    so the swap is bit-identical by construction. None → use pandas."""
+    lib = _hull_clib()
+    if lib is None:
+        return None
+    import ctypes
+
+    n = len(comb)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    kc = np.ascontiguousarray(comb, dtype=np.int64)
+    iptr = ctypes.POINTER(ctypes.c_int64)
+    if signs is None:
+        sptr = ctypes.cast(None, iptr)
+    else:
+        signs = np.ascontiguousarray(signs, dtype=np.int64)
+        sptr = signs.ctypes.data_as(iptr)
+    rc = lib.nfx_keyed_prefix_count(
+        kc.ctypes.data_as(iptr), sptr, ctypes.c_int64(n),
+        ctypes.c_int(1 if pre else 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out if rc == 0 else None
+
+
 def _cumcount(conv: np.ndarray, key: np.ndarray) -> np.ndarray:
-    """1-based occurrence count of (conv, key) at each row (vectorized
-    pandas cumcount — C speed across all conversations at once)."""
+    """1-based occurrence count of (conv, key) at each row (compiled
+    single-pass counter; pandas cumcount fallback — identical values)."""
     comb = _fuse_keys(conv, key)
+    got = _keyed_prefix_count_c(comb, None, pre=False)
+    if got is not None:
+        return got
     return pd.Series(comb).groupby(comb).cumcount().to_numpy() + 1
 
 
@@ -181,9 +217,13 @@ def _net_count_before(
     """Net (+1/−1) running count of (conv, key) just BEFORE each event —
     the decrement-capable twin of ``_cumcount`` needed when a key's
     multiplicity can shrink (a run moving from length l−1 to l must
-    decrement the l−1 length-count). Vectorized groupby-cumsum minus the
-    event's own sign; sign-0 rows are inert placeholders."""
+    decrement the l−1 length-count). Compiled single-pass counter with
+    a pandas groupby-cumsum fallback (identical integer values);
+    sign-0 rows are inert placeholders."""
     comb = _fuse_keys(conv, key)
+    got = _keyed_prefix_count_c(comb, np.asarray(sign), pre=True)
+    if got is not None:
+        return got
     cs = pd.Series(sign).groupby(comb).cumsum().to_numpy()
     return (cs - sign).astype(np.float64)
 
@@ -589,6 +629,43 @@ _HULL_C_SRC = r"""
 #include <math.h>
 #include <stdlib.h>
 
+static inline uint64_t nfx_mix64(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ULL;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+    return x ^ (x >> 31);
+}
+
+/* Running per-key counters over an int64 key stream (open addressing,
+   load factor <= 0.5). signs == NULL -> +1 per event, value written
+   AFTER the increment (1-based occurrence count). pre != 0 -> value
+   written BEFORE adding the event's sign (the decrement-capable
+   net-count-before). Counts are small integers in double: exact. */
+int nfx_keyed_prefix_count(const int64_t* keys, const int64_t* signs,
+                           int64_t n, int pre, double* out) {
+    uint64_t cap = 1, mask, h;
+    int64_t *tk, *tv, t;
+    uint8_t *tu;
+    if (n <= 0) return 0;
+    while (cap < (uint64_t)(2 * n)) cap <<= 1;
+    tk = malloc(cap * sizeof(int64_t));
+    tv = malloc(cap * sizeof(int64_t));
+    tu = calloc(cap, 1);
+    if (!tk || !tv || !tu) { free(tk); free(tv); free(tu); return 1; }
+    mask = cap - 1;
+    for (t = 0; t < n; t++) {
+        int64_t key = keys[t];
+        int64_t s = signs ? signs[t] : 1;
+        h = nfx_mix64((uint64_t)key) & mask;
+        while (tu[h] && tk[h] != key) h = (h + 1) & mask;
+        if (!tu[h]) { tu[h] = 1; tk[h] = key; tv[h] = 0; }
+        if (pre) { out[t] = (double)tv[h]; tv[h] += s; }
+        else { tv[h] += s; out[t] = (double)tv[h]; }
+    }
+    free(tk); free(tv); free(tu);
+    return 0;
+}
+
 int nfx_hull_prefix(const double* ux, const double* yx,
                     const int64_t* starts, int64_t n_starts, int64_t n,
                     double* out_area, double* out_perim) {
@@ -758,6 +835,11 @@ def _hull_clib():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.nfx_keyed_prefix_count.restype = ctypes.c_int
+        lib.nfx_keyed_prefix_count.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
         ]
         _HULL_LIB = lib
     except Exception:

@@ -65,3 +65,25 @@ def test_dispatch_used_by_shape_prefix():
     a1, p1 = hull_prefix(first, u, y)
     a2, p2 = _hull_prefix_py(first, u, y)
     assert np.allclose(a1, a2) and np.allclose(p1, p2)
+
+
+def test_keyed_prefix_count_matches_pandas():
+    import pandas as pd
+
+    from nuclei_feature_extraction_spark.functions.kernels import (
+        _keyed_prefix_count_c,
+    )
+
+    if _hull_clib() is None:
+        pytest.skip("no C toolchain on this machine")
+    rng = np.random.default_rng(3)
+    comb = rng.integers(-5, 40, size=5000).astype(np.int64)
+    # cumcount (post-increment, 1-based)
+    got = _keyed_prefix_count_c(comb, None, pre=False)
+    want = pd.Series(comb).groupby(comb).cumcount().to_numpy() + 1
+    assert np.array_equal(got, want.astype(np.float64))
+    # net-count-before with mixed ±1/0 signs
+    sign = rng.integers(-1, 2, size=5000).astype(np.int64)
+    got = _keyed_prefix_count_c(comb, sign, pre=True)
+    cs = pd.Series(sign).groupby(comb).cumsum().to_numpy()
+    assert np.array_equal(got, (cs - sign).astype(np.float64))
