@@ -50,7 +50,12 @@ def observation_get_bounded(
     finishes; a caller that harvests before any action ran would hang
     the driver forever. This reads it on a daemon thread and joins with
     a timeout, so misuse degrades to ``(False, {})`` and the caller can
-    fall back to an eager job instead of deadlocking. Two further
+    fall back to an eager job instead of deadlocking. KNOWN LEAK on
+    that degraded path: the abandoned daemon thread stays parked inside
+    the JVM-blocking ``get`` holding one py4j gateway connection — a
+    long-lived driver that times out repeatedly accumulates one blocked
+    thread + connection per timeout, so treat a timeout as a bug signal
+    (an action should have run first), not a steady state. Two further
     wrinkles are folded into the same contract: when AQE's
     empty-relation propagation drops the ``CollectMetrics`` node the
     JVM row is empty and ``get`` raises an assertion — that returns

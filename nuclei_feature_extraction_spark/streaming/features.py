@@ -386,7 +386,14 @@ def _runlen_advance(st: list, hist: dict, v: int, g: int) -> None:
 
 class _MaxAccumulatorParam:
     """max-fold accumulator (peak gauges). Declared duck-typed (zero /
-    addInPlace) — pyspark's AccumulatorParam is just this protocol."""
+    addInPlace) — pyspark's AccumulatorParam is just this protocol.
+
+    ``zero(value)`` deliberately returns ``value`` (not an additive
+    identity): pyspark seeds each worker copy with
+    ``param.zero(current)``, and because max is idempotent a worker
+    starting at the driver's running max folds correctly. Do NOT reuse
+    this class for an additive fold — the same seeding would
+    double-count; an additive param must return a true identity."""
 
     def zero(self, value):
         return value
