@@ -1031,8 +1031,16 @@ def ngram_contamination(
     c_post = _shingle_postings(
         corpus, id_col, text_col, shingle, backend=backend
     )
+    # the benchmark side only contributes its DISTINCT shingle set — it
+    # need not carry ``id_col`` at all (curation benchmark tables name
+    # theirs differently), so shingle it under a constant synthetic id
     b_sh = (
-        _shingle_postings(benchmark, id_col, text_col, shingle, backend=backend)
+        _shingle_postings(
+            benchmark.select(
+                F.lit(0).cast("long").alias("__bid"), F.col(text_col)
+            ),
+            "__bid", text_col, shingle, backend=backend,
+        )
         .select("s")
         .distinct()
     )

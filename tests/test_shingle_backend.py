@@ -72,3 +72,17 @@ def test_verify_identical_across_backends(spark, docs):
     h = h.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     a = a.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, h)
+
+
+def test_contamination_benchmark_without_id_col(spark, docs):
+    # curation benchmark tables carry their own id name (bench_id) or
+    # none — contamination must only read the benchmark's TEXT
+    bench = docs.filter("doc_id % 4 = 0").selectExpr(
+        "doc_id AS bench_id", "text"
+    )
+    corpus = docs.filter("doc_id % 4 != 0")
+    a = ngram_contamination(corpus, bench, backend="arrow").toPandas()
+    h = ngram_contamination(corpus, bench, backend="hof").toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    h = h.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, h)
