@@ -166,8 +166,14 @@ def _flat_distinct_shingles(lists, w: int):
     flat string buffer + offsets; adjacent-token windows are sliced
     views joined by ``binary_join_element_wise``; dedup is
     dictionary-encode + one integer lexsort. Returns ``(shingles,
-    row_index)`` with rows ascending (null/empty token lists emit
-    nothing), or None for an empty batch."""
+    row_index)`` with rows ascending, or None for an empty batch.
+
+    A NULL token list emits ONE EMPTY-STRING shingle — replicating the
+    HOF exactly: ``array(split(lower(NULL)))`` is an array holding a
+    null element, ``size(NULL) = -1`` collapses the index sequence to
+    [0], and ``concat_ws`` over the null slice yields ``''`` (verified
+    against Spark; pinned by the null-text row in
+    tests/test_shingle_backend.py)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -181,6 +187,11 @@ def _flat_distinct_shingles(lists, w: int):
 
     row_parts: list[np.ndarray] = []
     sh_parts: list = []
+    null_rows = pc.is_null(lists).to_numpy(zero_copy_only=False)
+    if null_rows.any():
+        n_null = int(null_rows.sum())
+        sh_parts.append(pa.array([""] * n_null, type=pa.string()))
+        row_parts.append(rowidx[null_rows])
     # full windows: shingle p = tokens[p..p+w-1], valid while the
     # window stays inside its row (count = size - w + 1)
     big = sizes >= w
@@ -242,7 +253,8 @@ def _shingle_array_frame(
     form `ngram_jaccard_verify` consumes (`array_intersect`/`union`
     only read set sizes, so the Arrow path's sorted-by-code element
     order is value-equivalent to the HOF's first-occurrence order).
-    Rows whose token list is null emit a NULL set like the HOF."""
+    Rows whose token list is null emit ``['']`` like the HOF (see
+    `_flat_distinct_shingles`)."""
     toks = df.select(
         F.col(id_col),
         F.split(F.lower(F.col(text_col)), r"\s+").alias("__toks"),
@@ -276,10 +288,6 @@ def _shingle_array_frame(
             offsets = np.zeros(n + 1, dtype=np.int32)
             np.cumsum(counts, out=offsets[1:])
             arr = pa.ListArray.from_arrays(pa.array(offsets), values)
-            invalid = pc.is_null(lists).to_numpy(zero_copy_only=False)
-            if invalid.any():
-                idx = np.arange(n, dtype=np.int64)
-                arr = arr.take(pa.array(idx, mask=invalid))
             yield pa.RecordBatch.from_arrays(
                 [ids_pa, arr], names=[id_col, out_col]
             )

@@ -30,6 +30,7 @@ def docs(spark):
         (5, "dup dup dup dup dup"),      # within-row duplicate shingles
         (6, "Mixed CASE Tokens mixed case tokens mixed case tokens"),
         (7, "the quick brown fox jumps over the lazy dog"),  # cross-doc dup
+        (8, None),                       # null text → no postings / null set
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
