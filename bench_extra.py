@@ -34,6 +34,8 @@ def main() -> None:
     def _opt(name, default=None):
         if name in argv:
             i = argv.index(name)
+            if i + 1 >= len(argv):
+                raise SystemExit(f"usage: {name} requires a value")
             return argv[i + 1]
         return default
 

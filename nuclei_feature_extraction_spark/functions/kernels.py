@@ -808,7 +808,17 @@ def _hull_clib():
         import tempfile
 
         h = hashlib.sha256(_HULL_C_SRC.encode()).hexdigest()[:16]
-        so = os.path.join(tempfile.gettempdir(), f"nfx_hull_{h}.so")
+        # per-uid 0700 cache dir: a predictable world-writable /tmp
+        # path would let another local user preplant a .so at the
+        # public source hash and have every worker dlopen it
+        cache_dir = os.path.join(
+            tempfile.gettempdir(), f"nfx_cc_{os.getuid()}"
+        )
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        st = os.stat(cache_dir)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            raise RuntimeError(f"unsafe cache dir {cache_dir}")
+        so = os.path.join(cache_dir, f"nfx_hull_{h}.so")
         if not os.path.exists(so):
             with tempfile.NamedTemporaryFile(
                 "w", suffix=".c", delete=False
@@ -1042,6 +1052,8 @@ def _role_idx_array(role: pd.Series) -> np.ndarray:
     exists; value-identical to the map/fillna path."""
     if isinstance(role.dtype, pd.CategoricalDtype):
         cat = role.array
+        if len(cat.categories) == 0:  # all-null column: every row unknown
+            return np.full(len(cat), 4, dtype=np.int64)
         lut = np.fromiter(
             (ROLE_IDX.get(c, 4) for c in cat.categories),
             count=len(cat.categories), dtype=np.int64,

@@ -214,13 +214,19 @@ def _flat_distinct_shingles(lists, w: int):
         if not sel.any():
             continue
         if s_len == 1:
-            joined = flat
+            joined = flat.take(pa.array(starts_flat[sel]))
         else:
+            # gather ONLY the short rows' tokens before joining — a
+            # whole-buffer join pass per short size would re-scan every
+            # long doc's tokens for a handful of short rows
             joined = pc.binary_join_element_wise(
-                *[flat.slice(j, nflat - s_len + 1) for j in range(s_len)],
+                *[
+                    flat.take(pa.array(starts_flat[sel] + j))
+                    for j in range(s_len)
+                ],
                 " ",
             )
-        sh_parts.append(joined.take(pa.array(starts_flat[sel])))
+        sh_parts.append(joined)
         row_parts.append(rowidx[sel])
     if not sh_parts:
         return None

@@ -683,7 +683,18 @@ def build_features_fused(
             yield emit(carry)
 
     if backend == "arrow":
-        out = prep.mapInArrow(gen_arrow, schema)
+        # mapInArrow hands the worker RAW UTC-epoch timestamps, while
+        # the driver-built side arrays come from toPandas() (session-tz
+        # naive). The repo pins the session to UTC (get_spark), where
+        # the two representations coincide; under any other session tz
+        # the as-of searchsorted would compare skewed clocks — fall
+        # back to the pandas backend, which converts both sides with
+        # the same session tz.
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            out = prep.mapInPandas(gen, schema)
+        else:
+            out = prep.mapInArrow(gen_arrow, schema)
     elif backend == "pandas":
         out = prep.mapInPandas(gen, schema)
     else:
